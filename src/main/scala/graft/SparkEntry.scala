@@ -1,13 +1,57 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine._
+import graft.ops._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private val modules: Seq[QueryDef] =
+    Relational.all ++ EventOps.all ++ GraphOps.all ++ TextOps.all ++
+      Dedup.all ++ Similarity.all ++ Multimodal.all ++ SchedulerQueries.all
+
+  /** Flagship: a full engine pass on sf0.001 — build a 3-stage job graph
+    * (ingest → enrich → report), schedule it through the store's FSM
+    * (reserve → run → finish via the readiness anti-join), where the report
+    * handler runs the revenue-by-nation analytic query. Driver smoke-checks
+    * rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir   = "/root/testdata/sf0.001"
+    val store = new InMemoryJobStore
+    store.install()
+    store.transactGraph(JobGraph.jobGraph(Map(
+      "enrich" -> Seq("ingest"),
+      "report" -> Seq("enrich"))))
+
+    var enriched: Option[DataFrame] = None
+    var report: Option[DataFrame]   = None
+    val t = Tables(spark, dir)
+    val handlers = Map(
+      "ingest" -> Handler { _ => t.lineitem.count() },
+      "enrich" -> Handler { _ =>
+        enriched = Some(
+          t.lineitem
+            .join(t.orders, org.apache.spark.sql.functions.col("l_orderkey") ===
+              org.apache.spark.sql.functions.col("o_orderkey")))
+      },
+      "report" -> Handler { _ =>
+        report = Some(Relational.q03RevenueByNation.fn(spark, dir))
+      })
+
+    new Worker(store, handlers, WorkerConfig(seed = Some(42L))).runUntilIdle()
+    require(store.snapshotJobs.forall(_.status == JobStatus.Finished),
+      s"pipeline did not finish: ${store.snapshotJobs}")
+    report.get
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (engine-specific hashes/sketches) → driver records rows-only. */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,147 @@
+package graft.engine
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
+import scala.util.Random
+
+/** Worker cadences — the reference's operational defaults
+  * (src/overseer/config.clj:58-68, examples/config.yml). Milliseconds. */
+final case class WorkerConfig(
+    detectorSleepMs: Long = 2000L,   // ready-set refresh
+    sleepMs: Long = 10000L,          // empty-queue executor sleep
+    heartbeatSleepMs: Long = 60000L, // heartbeat persist interval
+    heartbeatTolerance: Int = 5,     // missed beats before presumed dead
+    seed: Option[Long] = None)       // deterministic random pick for tests
+
+/** A masterless worker: four cooperating loops that coordinate only through
+  * the store (reference src/overseer/worker.clj:24-50, doc/guide/Concepts.md):
+  *
+  *  - detector: poll jobsReady → hydrate → filter to locally-handled types →
+  *    refresh the ready cache (worker.clj:14-22,30-36)
+  *  - executor: random fair pick from cache → CAS reserve (skip on lost
+  *    race) → run handler → finalize per exit status (executor.clj:41-78)
+  *  - heartbeat: persist liveness for the current job (heartbeat.clj:19-31)
+  *  - monitor: reset jobs whose heartbeat is older than
+  *    tolerance × heartbeat interval, with a 1-10 s random start stagger so
+  *    concurrent monitors don't clash (heartbeat.clj:35-68)
+  *
+  * Each worker runs exactly one job at a time (doc/guide/Scaling.md);
+  * parallelism lives inside handlers (Spark jobs fanning out to executors)
+  * and across workers.
+  */
+final class Worker(store: JobStore, handlers: Map[String, Handler],
+                   config: WorkerConfig = WorkerConfig()) {
+
+  private val running    = new AtomicBoolean(false)
+  private val readyCache = new AtomicReference[Set[String]](Set.empty)
+  private val currentJob = new AtomicReference[Option[String]](None)
+  private val rand       = config.seed.map(new Random(_)).getOrElse(new Random())
+  private var threads    = Seq.empty[Thread]
+
+  /** One detector pass: ready ids, hydrated and filtered to the types this
+    * worker has handlers for (heterogeneous pools, worker.clj:14-22). */
+  def detectOnce(): Set[String] = {
+    val ready = store.jobsReady()
+      .filter(id => store.jobInfo(id).exists(j => handlers.contains(j.jobType)))
+    readyCache.set(ready)
+    ready
+  }
+
+  /** One executor tick (executor.clj:62-78): random pick — explicitly NO
+    * ordering guarantee (doc/guide/InsertingJobs.md) — remove from cache,
+    * CAS-reserve; on lost race skip; on success run + finalize.
+    * Returns the id it ran, if any. */
+  def tick(): Option[String] = {
+    val cache = readyCache.get()
+    if (cache.isEmpty) None
+    else {
+      val pick = cache.toVector(rand.nextInt(cache.size))
+      readyCache.updateAndGet(_ - pick)
+      store.reserveJob(pick) match {
+        case None => None // lost the race to another worker
+        case Some(job) =>
+          currentJob.set(Some(job.id))
+          try runJob(job) finally currentJob.set(None)
+          Some(job.id)
+      }
+    }
+  }
+
+  /** Run a reserved job and finalize its FSM transition
+    * (executor.clj:41-60). */
+  def runJob(job: Job): JobResult = {
+    val handler = handlers.getOrElse(job.jobType,
+      throw new IllegalStateException(s"missing handler for type ${job.jobType}"))
+    val result = Errors.tryThunk(Errors.failureInfo) {
+      handler.invoke(job); JobResult(JobStatus.Finished)
+    }
+    result.status match {
+      case JobStatus.Finished  => store.finishJob(job.id)
+      case JobStatus.Failed    => store.failJob(job.id, result.failure)
+      case JobStatus.Aborted   => store.abortJob(job.id)
+      case JobStatus.Unstarted => store.resetJob(job.id)
+      case other => throw new IllegalStateException(s"illegal exit status $other")
+    }
+    result
+  }
+
+  /** One monitor pass: dead = heartbeat < now − tolerance×interval → reset
+    * each (heartbeat.clj:35-43). Returns the reset ids. */
+  def monitorOnce(): Set[String] = {
+    val thresh = System.currentTimeMillis() / 1000L -
+      config.heartbeatTolerance * (config.heartbeatSleepMs / 1000L)
+    val dead = store.jobsDead(thresh)
+    dead.foreach(store.resetJob)
+    dead
+  }
+
+  /** One heartbeat pass for the in-flight job, if any (heartbeat.clj:19-31). */
+  def heartbeatOnce(): Unit =
+    currentJob.get().foreach(store.heartbeatJob)
+
+  /** Drain synchronously: run detector+executor until no progress. For
+    * batch-style pipelines and tests; the threaded loops below are the
+    * service mode. Returns ids run in order. */
+  def runUntilIdle(maxJobs: Int = Int.MaxValue): Seq[String] = {
+    val ran = Vector.newBuilder[String]
+    var n = 0
+    var progress = true
+    while (progress && n < maxJobs) {
+      detectOnce()
+      tick() match {
+        case Some(id) => ran += id; n += 1
+        case None     => progress = false
+      }
+    }
+    ran.result()
+  }
+
+  /** Spawn the four perpetual loops (worker.clj:24-50). Framework errors in
+    * a loop are crash-only: they stop the worker (reference exits the
+    * process and relies on a supervisor, errors.clj:83-92). */
+  def start(): Worker = {
+    require(running.compareAndSet(false, true), "worker already started")
+    def loop(name: String, sleepMs: => Long)(body: () => Unit): Thread = {
+      val t = new Thread(() => {
+        try while (running.get()) { body(); Thread.sleep(sleepMs) }
+        catch {
+          case _: InterruptedException => ()
+          case e: Throwable => running.set(false); throw e
+        }
+      }, s"graft-worker-$name")
+      t.setDaemon(true); t.start(); t
+    }
+    val monitorStagger = 1000L + rand.nextInt(9000) // 1-10 s, heartbeat.clj:45-49
+    threads = Seq(
+      loop("detector", config.detectorSleepMs)(() => detectOnce()),
+      loop("executor", if (readyCache.get().isEmpty) config.sleepMs else 0L)(() => { tick(); () }),
+      loop("heartbeat", config.heartbeatSleepMs)(() => heartbeatOnce()),
+      loop("monitor", { config.heartbeatSleepMs + monitorStagger })(() => { monitorOnce(); () }))
+    this
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    threads.foreach(_.interrupt())
+    threads.foreach(_.join(2000))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operators in batch form: JSON decode, as-of join,
+  * sessionization (gaps-and-islands), tumbling windows. The same plans run
+  * under Structured Streaming (graft.streaming) — watermark + window for
+  * tumbling, flatMapGroupsWithState for sessions.
+  */
+object EventOps {
+
+  private val M = DecimalType(18, 4)
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which vanilla Spark scans
+    * reject; read it as long nanos and convert to a microsecond timestamp
+    * (exactly DuckDB's own ns→µs truncation, so oracles agree). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** JSON-string column decode (§2E scan/source row 3 — the reference's
+    * args/failure EDN columns, jdbc.clj:33-34). */
+  val q17JsonExtract: QueryDef = QueryDef(
+    "q17_json_extract",
+    (s, dir) => events(s, dir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"), col("k_val"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(M)).cast("double").as("total_value")),
+    Some("""SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2"""))
+
+  /** As-of join (§2E join row 7): each purchase matched to the latest click
+    * at-or-before it by the same user. Spark-first formulation: tag both
+    * sides, union, and carry the last click forward with a running
+    * `last(_, ignoreNulls)` window — one shuffle on user_id, no range
+    * explosion, scales linearly in events. Clicks are pre-deduped to one per
+    * (user, ts) so ties resolve identically everywhere. */
+  val q18AsofJoin: QueryDef = QueryDef(
+    "q18_asof_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"),
+                lit(0).as("side"), lit(null).cast("long").as("p_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+                lit(1).as("side"), col("event_id").as("p_event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(purchases)
+        .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(
+          col("p_event_id").as("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("last_click_id").as("click_id"),
+          unix_micros(col("last_click_ts")).as("click_ts_us"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             c.click_id, epoch_us(c.ts) AS click_ts_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+
+  /** Sessionization: 30-minute-gap sessions per user (gaps-and-islands:
+    * lag → new-session flag → running sum → aggregate). */
+  val q19Sessionize: QueryDef = QueryDef(
+    "q19_sessionize",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(wOrd)))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+               unix_micros(col("ts")) - col("prev_us") > 1800000000L, lit(1))
+            .otherwise(lit(0)))
+        .withColumn("session_id", sum(col("new_s")).over(wRun).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             unix_micros(min(col("ts"))).as("start_us"),
+             unix_micros(max(col("ts"))).as("end_us"),
+             sum(col("value").cast(M)).cast("double").as("total_value"))
+    },
+    Some("""WITH flags AS (
+        SELECT user_id, ts, value, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+          CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flags)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY 1, 2"""))
+
+  /** Tumbling window aggregation via Spark's `window()` — epoch-aligned
+    * 1-hour buckets with count / distinct users / exact sum. */
+  val q20Tumbling: QueryDef = QueryDef(
+    "q20_tumbling_hourly",
+    (s, dir) => events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"),
+           sum(col("value").cast(M)).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+              col("n"), col("n_users"), col("total_value")),
+    Some("""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+      COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(q17JsonExtract, q18AsofJoin, q19Sessionize, q20Tumbling)
+}

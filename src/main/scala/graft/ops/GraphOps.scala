@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators — the reference's transitive-closure BFS
+  * (jdbc.clj:101-113, SURVEY.md §2D row 6) generalized to DataFrames.
+  * Catalyst can't express recursion, so the fixpoint loop runs on the
+  * driver; each level is one distributed join, and `localCheckpoint`
+  * periodically truncates lineage so deep graphs don't stack plans.
+  */
+object GraphOps {
+
+  /** BFS closure with per-node depth over an arbitrary (child, parent) edge
+    * table. Cycle-safe: previously-visited nodes are anti-joined away each
+    * level. */
+  def descendantsWithDepth(spark: SparkSession, edges: DataFrame, roots: DataFrame): DataFrame = {
+    var visited  = roots.select(col("node"), lit(0L).as("depth")).localCheckpoint()
+    var frontier = visited
+    while (!frontier.isEmpty) {
+      // localCheckpoint EVERY level: the frontier feeds both the next level
+      // and the visited union, so an unmaterialized plan doubles per level
+      // (exponential Catalyst analysis cost); checkpointing keeps it flat.
+      val next = edges
+        .join(frontier, edges("parent") === frontier("node"))
+        .select(edges("child").as("node"), (frontier("depth") + 1).as("depth"))
+        .groupBy(col("node")).agg(min(col("depth")).as("depth"))
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.union(next)
+      frontier = next
+    }
+    visited
+  }
+
+  /** Transitive closure demo on real data: the implicit binary tree
+    * child → child div 2 over part keys; descendants of node 1 with BFS
+    * depth. Oracle: DuckDB WITH RECURSIVE. */
+  val q21Closure: QueryDef = QueryDef(
+    "q21_transitive_closure",
+    (s, dir) => {
+      val edges = Tables(s, dir).part
+        .select(col("p_partkey").as("child"),
+                expr("p_partkey div 2").cast("long").as("parent"))
+        .filter(col("child") > 1)
+      val roots = s.range(1, 2).select(col("id").as("node"))
+      descendantsWithDepth(s, edges, roots)
+        .filter(col("depth") > 0)
+        .select(col("node"), col("depth"))
+    },
+    Some("""WITH RECURSIVE edges AS (
+        SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey > 1),
+      d AS (
+        SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT e.child, d.depth + 1 FROM d JOIN edges e ON e.parent = d.node)
+      SELECT node, depth FROM d WHERE depth > 0"""))
+
+  val all: Seq[QueryDef] = Seq(q21Closure)
+}

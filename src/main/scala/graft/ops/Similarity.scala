@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths per the north star: brute-force cosine top-k as the exactness
+  * baseline, and an LSH-bucketed variant as the 100 TB path (random
+  * hyperplane signs → band keys → equi-join; candidates only are scored).
+  * Dot products are computed by `aggregate(zip_with(...))` — a codegen'd
+  * column expression, no UDF, so scoring stays inside whole-stage codegen.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns in double
+    * precision — same left-to-right accumulation order every engine uses,
+    * so results are bit-stable. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: few query vectors broadcast against the full
+    * corpus, ranked per query. At scale the corpus side stays partitioned
+    * and never shuffles until the per-query top-k (TakeOrdered per group). */
+  val q30CosineKnn: QueryDef = QueryDef(
+    "q30_cosine_knn",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      cand.crossJoin(broadcast(queries))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10"""))
+
+  /** LSH random-hyperplane signatures: bit i = sign(dot(v, plane_i)), with
+    * pseudo-random planes derived deterministically from (i, dim) via a
+    * hash — no stored model, reproducible across runs and engines. Banding
+    * 16 bits into 4×4-bit keys gives candidate buckets; an exact cosine
+    * rescoring keeps candidates with cos >= 0.2. No SQL oracle (hash-seeded
+    * planes); rows-only check + SimilaritySpec recall test vs q30. */
+  val q31LshAnn: QueryDef = QueryDef(
+    "q31_lsh_ann",
+    (s, dir) => {
+      val nBits = 16
+      val emb = Tables(s, dir).embeddings
+      // plane component for (bit, dim): hash → [-1, 1) uniform, deterministic
+      def planeComp(bit: Int, dimIdx: Column): Column =
+        (xxhash64(lit(bit), dimIdx).cast("double") / lit(Long.MaxValue.toDouble))
+      def sigBits(v: Column): Column = {
+        val bits = (0 until nBits).map { b =>
+          val proj = aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1),
+              (x, i) => x.cast("double") * planeComp(b, i)),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+        }
+        bits.reduce(_ + _)
+      }
+      val signed = emb.select(col("vec_id"), col("embedding"), sigBits(col("embedding")).as("sig"))
+      val banded = signed.select(col("vec_id"), col("embedding"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+                 shiftright(col("sig"), i * 4).bitwiseAND(lit(0xFL)).as("key"))): _*)).as("bk"))
+        .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key"))
+      val queries = banded.filter(col("vec_id") < 5)
+        .select(col("band"), col("key"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val cands = banded.select(col("band"), col("key"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      queries.join(cands, Seq("band", "key"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb")).distinct()
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+        .filter(col("cos") >= 0.2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(q30CosineKnn, q31LshAnn)
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north star in
+  * BASELINE.json): tokenization, quality scoring, language-ID heuristic,
+  * document fingerprinting. All pure `functions._` column expressions —
+  * codegen'd, no UDFs — so they stay inside whole-stage codegen and scale
+  * embarrassingly parallel over document partitions.
+  */
+object TextOps {
+
+  /** Word tokens (lowercased \w+ runs) — identical regex semantics in Spark
+    * (Java regex) and DuckDB (RE2) for this class. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\w+"), lit(0))
+
+  /** Tokenization + counting stats per document. */
+  val q22TokenStats: QueryDef = QueryDef(
+    "q22_token_stats",
+    (s, dir) => Tables(s, dir).documents
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+        (aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x)
+          .cast("double") / size(col("toks"))).as("avg_token_len")),
+    Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
+      FROM t"""))
+
+  /** Quality scoring: length, punctuation density, stopword ratio,
+    * type-token ratio — the standard cheap pre-filters for web corpora. */
+  val q23TextQuality: QueryDef = QueryDef(
+    "q23_text_quality",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "value", "data", "table")
+      Tables(s, dir).documents
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          col("n_tokens"),
+          size(array_intersect(array_distinct(col("toks")),
+            array(stop.map(lit): _*))).cast("long").as("n_stop_types"),
+          (size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
+            .cast("double") / col("n_tokens")).as("stop_ratio"),
+          (size(array_distinct(col("toks"))).cast("double") / col("n_tokens")).as("ttr"),
+          size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+            .cast("long").as("n_punct"))
+    },
+    Some("""WITH t AS (SELECT doc_id, n_chars, text,
+          regexp_extract_all(lower(text), '\w+') AS toks FROM documents)
+      SELECT doc_id, n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_intersect(list_distinct(toks),
+          ['the','a','of','and','to','in','is','value','data','table'])) AS BIGINT) AS n_stop_types,
+        CAST(len(list_filter(toks, x -> list_contains(
+          ['the','a','of','and','to','in','is','value','data','table'], x))) AS DOUBLE)
+          / len(toks) AS stop_ratio,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+      FROM t"""))
+
+  /** Language-ID heuristic: score by marker-token hits per language, argmax
+    * with a deterministic priority order. (On real corpora the marker lists
+    * would be per-language n-gram profiles; the mechanism — score columns +
+    * CASE argmax, one pass, no shuffle — is the scale-relevant part.) */
+  val q24LangId: QueryDef = QueryDef(
+    "q24_lang_id",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.withColumn("toks", tokens(col("text")))
+      def score(markers: Seq[String]): Column =
+        size(filter(col("toks"), t => t.isin(markers.map(x => x: Any): _*))).cast("long")
+      d.withColumn("s_en", score(Seq("the", "a", "and", "of")))
+        .withColumn("s_data", score(Seq("data", "table", "row", "column")))
+        .withColumn("s_query", score(Seq("query", "join", "filter", "scan")))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_data") && col("s_en") >= col("s_query"), lit("en"))
+            .when(col("s_data") >= col("s_query"), lit("data"))
+            .otherwise(lit("query")))
+        .select(col("doc_id"), col("lang"), col("s_en"), col("s_data"),
+                col("s_query"), col("predicted"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+          regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+      sc AS (SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of'], x))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(toks, x -> list_contains(['data','table','row','column'], x))) AS BIGINT) AS s_data,
+        CAST(len(list_filter(toks, x -> list_contains(['query','join','filter','scan'], x))) AS BIGINT) AS s_query
+        FROM t)
+      SELECT doc_id, lang, s_en, s_data, s_query,
+        CASE WHEN s_en >= s_data AND s_en >= s_query THEN 'en'
+             WHEN s_data >= s_query THEN 'data'
+             ELSE 'query' END AS predicted
+      FROM sc"""))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * identical digests in any engine, the exact-dedup key. */
+  val q25Fingerprint: QueryDef = QueryDef(
+    "q25_fingerprint",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"),
+              md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint")),
+    Some("""SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents"""))
+
+  val all: Seq[QueryDef] = Seq(q22TokenStats, q23TextQuality, q24LangId, q25Fingerprint)
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the operators whose correctness the DuckDB oracle
+  * can't express (hashes/sketches), plus smoke coverage for the rest at
+  * sf0.001. */
+class OpsSpec extends SparkTestBase {
+
+  test("every registered query returns rows at sf0.001") {
+    val skipEmptyOk = Set("q27_ngram_jaccard", "q31_lsh_ann") // threshold queries may be sparse
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (!skipEmptyOk.contains(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables(spark, sfDir).lineitem
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " extra"),                       // near-dup of 0
+      (2L, "completely different words about spark catalyst optimizer plans and shuffles everywhere"),
+      (3L, base.replace("quick", "slow"))          // near-dup of 0
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.q28MinhashLsh.fn(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 1L)), s"expected (0,1) in $ids")
+    assert(pairs.forall(p => p._3 > 0 && p._3 <= 1.0))
+    assert(!ids.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc matched")
+  }
+
+  test("simhash: identical docs hash identically, near-dups within few bits") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val docs = Seq((0L, base), (1L, base), (2L, base + " omicron"),
+                   (3L, "totally unrelated content with other tokens entirely"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("sh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sigs = Dedup.q29Simhash.fn(spark, tmp)
+      .select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // tiny docs flip many bits per added token; the invariant that matters
+    // is relative: a near-dup is strictly closer than unrelated content
+    assert(hamming(sigs(0L), sigs(2L)) < hamming(sigs(0L), sigs(3L)),
+      s"near-dup ${hamming(sigs(0L), sigs(2L))} !< unrelated ${hamming(sigs(0L), sigs(3L))}")
+  }
+
+  test("brute-force knn: self-similarity excluded, cosine bounded, ranks contiguous") {
+    val res = Similarity.q30CosineKnn.fn(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      val cos = r.getDouble(3)
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    val byQuery = res.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.size).toSeq)
+    }
+  }
+
+  test("lsh ann candidates are a subset of brute-force scoring (same cosine)") {
+    val ann = Similarity.q31LshAnn.fn(spark, sfDir).collect()
+    // every reported candidate must have the exact cosine the brute-force path computes
+    val brute = Similarity.q30CosineKnn.fn(spark, sfDir)
+      .select("query_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-12))
+    }
+  }
+
+  test("exact dedup keeps one keeper per fingerprint") {
+    val res = Dedup.q26ExactDedup.fn(spark, sfDir)
+    val total = res.agg(sum(col("n_copies"))).head().getLong(0)
+    val docs  = Tables(spark, sfDir).documents.count()
+    assert(total == docs)
+  }
+
+  test("flagship entry() runs the engine end-to-end and returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}
