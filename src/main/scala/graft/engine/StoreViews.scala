@@ -71,9 +71,9 @@ object StoreViews {
       // localCheckpoint EVERY level: the frontier feeds both the next level
       // and the visited union, so an unmaterialized plan doubles per level
       // (exponential analysis cost); checkpointing keeps every plan flat.
-      val next = directDependents(deps, frontier)
+      val next = directDependents(deps, broadcast(frontier))
         .join(visited, Seq("id"), "left_anti")
-        .join(roots, Seq("id"), "left_anti")
+        .join(broadcast(roots), Seq("id"), "left_anti")
         .localCheckpoint()
       visited = visited.union(next)
       frontier = next

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two float-array columns in
+  * double precision, accumulated left-to-right (index order — matching both
+  * the `aggregate(zip_with(...))` composition and DuckDB's sequential list
+  * fold, so results are bit-identical across all three).
+  *
+  * Why an Expression and not the higher-order-function composition: HOFs
+  * (`ArrayTransform`/`ArrayAggregate`) are interpreted per element with
+  * boxed lambdas and block whole-stage codegen; this generates a tight
+  * primitive loop inside the stage. The hot path of brute-force similarity
+  * scoring is exactly this expression, evaluated |queries|×|corpus| times.
+  */
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vector_dot requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH signature as one codegen'd expression: bit b of
+  * the result = sign(dot(v, planes(b))). Replaces nBits separate
+  * interpreted `aggregate(zip_with(...))` projections with a single tight
+  * double loop; the plane matrix rides along as a referenced object in the
+  * generated class. */
+case class VectorLshBits(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getFloat(i).toDouble * p(i); i += 1 }
+      if (acc > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      s"""
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $planesRef.length; $b++) {
+         |  double[] $p = $planesRef[$b];
+         |  int $n = java.lang.Math.min($v.numElements(), $p.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $v.getFloat($i)) * $p[$i];
+         |  }
+         |  if ($acc > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): VectorLshBits = copy(child = c)
+}
+
+object VectorFunctions {
+  /** Column-level API for [[VectorDot]]. */
+  def vector_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(VectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vector_norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(vector_dot(a, a))
+
+  def vector_cosine(a: Column, b: Column): Column =
+    vector_dot(a, b) / (vector_norm(a) * vector_norm(b))
+
+  /** Deterministic pseudo-random hyperplanes (seeded LCG — stable across
+    * JVMs and runs), centered on 0 so sign bits split the space evenly. */
+  def lshPlanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextDouble() * 2.0 - 1.0)
+  }
+
+  def vector_lsh_bits(v: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(VectorLshBits(ColumnBridge.expression(v), planes))
+}

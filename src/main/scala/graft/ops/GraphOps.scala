@@ -14,17 +14,25 @@ object GraphOps {
   /** BFS closure with per-node depth over an arbitrary (child, parent) edge
     * table. Cycle-safe: previously-visited nodes are anti-joined away each
     * level. */
-  def descendantsWithDepth(spark: SparkSession, edges: DataFrame, roots: DataFrame): DataFrame = {
+  def descendantsWithDepth(spark: SparkSession, edgesIn: DataFrame, roots: DataFrame): DataFrame = {
+    // materialize the edge table once: every BFS level re-reads it, and
+    // without this each level would re-run the source scan
+    val edges = edgesIn.localCheckpoint()
     var visited  = roots.select(col("node"), lit(0L).as("depth")).localCheckpoint()
     var frontier = visited
     while (!frontier.isEmpty) {
       // localCheckpoint EVERY level: the frontier feeds both the next level
       // and the visited union, so an unmaterialized plan doubles per level
       // (exponential Catalyst analysis cost); checkpointing keeps it flat.
+      // the frontier is small relative to the edge table: broadcast it so
+      // the edges never shuffle (17 BFS levels × an edge shuffle would
+      // dominate otherwise)
       val next = edges
-        .join(frontier, edges("parent") === frontier("node"))
+        .join(broadcast(frontier), edges("parent") === frontier("node"))
         .select(edges("child").as("node"), (frontier("depth") + 1).as("depth"))
         .groupBy(col("node")).agg(min(col("depth")).as("depth"))
+        // visited can reach full-graph size: no broadcast hint — let
+        // Catalyst/AQE pick broadcast vs shuffle from its observed size
         .join(visited.select("node"), Seq("node"), "left_anti")
         .localCheckpoint()
       visited = visited.union(next)

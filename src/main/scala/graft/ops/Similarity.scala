@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns in double
-    * precision — same left-to-right accumulation order every engine uses,
-    * so results are bit-stable. */
+  /** Sequential-fold dot product in double precision — same left-to-right
+    * accumulation order every engine uses, so results are bit-stable.
+    * Primary path is the codegen'd native expression
+    * [[graft.functions.VectorDot]]; `dotHof` is the pure-builtin
+    * composition kept for cross-checking (identical fold order → identical
+    * bits). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vector_dot(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, x) => acc + x)
 
@@ -69,32 +75,34 @@ object Similarity {
     (s, dir) => {
       val nBits = 16
       val emb = Tables(s, dir).embeddings
-      // plane component for (bit, dim): hash → [-1, 1) uniform, deterministic
-      def planeComp(bit: Int, dimIdx: Column): Column =
-        (xxhash64(lit(bit), dimIdx).cast("double") / lit(Long.MaxValue.toDouble))
-      def sigBits(v: Column): Column = {
-        val bits = (0 until nBits).map { b =>
-          val proj = aggregate(
-            zip_with(v, sequence(lit(0), size(v) - 1),
-              (x, i) => x.cast("double") * planeComp(b, i)),
-            lit(0.0), (acc, x) => acc + x)
-          when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-        }
-        bits.reduce(_ + _)
-      }
-      val signed = emb.select(col("vec_id"), col("embedding"), sigBits(col("embedding")).as("sig"))
-      val banded = signed.select(col("vec_id"), col("embedding"),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("band"),
-                 shiftright(col("sig"), i * 4).bitwiseAND(lit(0xFL)).as("key"))): _*)).as("bk"))
-        .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key"))
-      val queries = banded.filter(col("vec_id") < 5)
-        .select(col("band"), col("key"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val cands = banded.select(col("band"), col("key"),
-        col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-      queries.join(cands, Seq("band", "key"))
+      // plane matrix built once on the driver (deterministic seed); the
+      // signature is a single codegen'd expression — one tight loop per row
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val planes = graft.functions.VectorFunctions.lshPlanes(nBits, dim)
+      def sigBits(v: Column): Column =
+        graft.functions.VectorFunctions.vector_lsh_bits(v, planes)
+      // Signatures carry only (vec_id, band, key): the candidate join and
+      // pair-dedup shuffle 24-byte rows, never the embedding vectors; the
+      // vectors are joined back exactly once per surviving candidate pair.
+      val banded = emb
+        .select(col("vec_id"), sigBits(col("embedding")).as("sig"))
+        .select(col("vec_id"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("band"),
+                   shiftright(col("sig"), i * 4).bitwiseAND(lit(0xFL)).as("key"))): _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band"), col("bk.key"))
+      val qb = banded.filter(col("vec_id") < 5)
+        .select(col("band"), col("key"), col("vec_id").as("query_id"))
+      val cb = banded.select(col("band"), col("key"), col("vec_id").as("neighbor_id"))
+      val pairs = qb.join(cb, Seq("band", "key"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb")).distinct()
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      val qVec = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val cVec = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      pairs
+        .join(broadcast(qVec), Seq("query_id"))
+        .join(cVec, Seq("neighbor_id"))
         .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
         .filter(col("cos") >= 0.2)
         .select(col("query_id"), col("neighbor_id"), col("cos"))

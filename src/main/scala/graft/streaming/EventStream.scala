@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming window operators over an event stream with schema
+  * (ts: timestamp, user_id: long, event_type: string, value: double) —
+  * the streaming forms of EventOps' batch queries (SURVEY.md §2E:
+  * tumbling/sliding/session windows, watermark + late-data policy).
+  *
+  * All take an unbounded DataFrame (readStream) but run identically on a
+  * bounded one; watermarks bound state so a year-long stream holds only
+  * `watermark / slide` windows per key in memory.
+  */
+object EventStream {
+
+  private val M = DecimalType(18, 4)
+
+  /** Tumbling 1-hour counts/sums per event type; late rows beyond the
+    * watermark are dropped (reference's clock-drift tolerance discussion,
+    * doc/guide/Heartbeats.md). */
+  def tumblingHourly(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(M)).cast("double").as("total_value"))
+
+  /** Sliding window: 1-hour span every 15 minutes. */
+  def slidingRate(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows per user with a 30-minute inactivity gap — the
+    * streaming equivalent of EventOps.q19Sessionize. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+               watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(M)).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+              col("w.end").as("session_end"), col("n_events"), col("total_value"))
+}

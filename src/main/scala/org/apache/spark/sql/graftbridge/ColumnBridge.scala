@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's private[sql] Column↔Expression conversions, needed
+  * to expose custom Catalyst expressions as user-facing Columns (in Spark
+  * ≤3.x this was public `new Column(expr)` / `col.expr`). Lives under the
+  * org.apache.spark.sql package solely for access; contains no logic.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -18,6 +18,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1's async checkpoint-checksum writer deadlocks executor
+      // threads under local[4] (tasks park in
+      // ChecksumCancellableFSDataOutputStream.close) — disable for tests
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.engine.JobStatus
+import graft.streaming.FsmStream.{JobEvent, JobState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming forms of the worker loops and event windows
+  * (SURVEY.md §7 phase 4), driven synchronously via MemoryStream. */
+class StreamingSpec extends SparkTestBase {
+
+  test("FSM stream: legal transitions fold to the right state; illegal ones drop") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[JobEvent]
+    val q = FsmStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("fsm").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        JobEvent("a", "reserve", 100), JobEvent("a", "heartbeat", 160),
+        JobEvent("b", "reserve", 100),
+        JobEvent("c", "finish", 100)) // illegal: unstarted → finish
+      q.processAllAvailable()
+      input.addData(JobEvent("a", "finish", 200), JobEvent("b", "fail", 150))
+      q.processAllAvailable()
+      val st = spark.table("fsm").as[JobState].collect()
+        .groupBy(_.jobId).map { case (k, v) => k -> v.last }
+      assert(st("a").status == JobStatus.Finished)
+      assert(st("b").status == JobStatus.Failed && st("b").failures == 1)
+      assert(st("c").status == JobStatus.Unstarted) // illegal event ignored
+    } finally q.stop()
+  }
+
+  test("timeout branch releases silent started jobs (monitor semantics)") {
+    assert(FsmStream.onTimeout(JobState("x", JobStatus.Started, 99, 0)) ==
+      JobState("x", JobStatus.Unstarted, 0, 0))
+    assert(FsmStream.onTimeout(JobState("x", JobStatus.Finished, 99, 0)).status == JobStatus.Finished)
+    assert(FsmStream.onTimeout(JobState("x", JobStatus.Unstarted, 0, 0)).status == JobStatus.Unstarted)
+  }
+
+  test("FSM step function implements exactly the reference's transition table") {
+    def s(status: String) = JobState("x", status, 0, 0)
+    assert(FsmStream.step(s(JobStatus.Unstarted), JobEvent("x", "reserve", 5)).status == JobStatus.Started)
+    assert(FsmStream.step(s(JobStatus.Unstarted), JobEvent("x", "reserve", 5)).heartbeat == 5)
+    assert(FsmStream.step(s(JobStatus.Started), JobEvent("x", "finish", 0)).status == JobStatus.Finished)
+    assert(FsmStream.step(s(JobStatus.Started), JobEvent("x", "fail", 0)).status == JobStatus.Failed)
+    assert(FsmStream.step(s(JobStatus.Started), JobEvent("x", "reset", 0)).status == JobStatus.Unstarted)
+    assert(FsmStream.step(s(JobStatus.Started), JobEvent("x", "abort", 0)).status == JobStatus.Aborted)
+    assert(FsmStream.step(s(JobStatus.Unstarted), JobEvent("x", "abort", 0)).status == JobStatus.Aborted)
+    // illegal: no-ops
+    assert(FsmStream.step(s(JobStatus.Finished), JobEvent("x", "reserve", 0)).status == JobStatus.Finished)
+    assert(FsmStream.step(s(JobStatus.Aborted), JobEvent("x", "finish", 0)).status == JobStatus.Aborted)
+    // heartbeat is unconditional w.r.t. status (core.clj:133-135)
+    assert(FsmStream.step(s(JobStatus.Started), JobEvent("x", "heartbeat", 77)).heartbeat == 77)
+  }
+
+  test("tumbling window stream aggregates by hour and type") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.tumblingHourly(df)
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), 2L, "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), 1L, "click", 4.0),
+        (Timestamp.valueOf("2024-01-01 10:30:00"), 3L, "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .selectExpr("window.start as s", "event_type", "n", "total_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "click", 1L, 4.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("session window stream splits on the 30-minute gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.sessions(df)
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "click", 1.0), // new session
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val byUser = spark.table("sessions").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      assert(byUser == Map(1L -> 2, 2L -> 1))
+    } finally q.stop()
+  }
+}
