@@ -81,6 +81,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source stream over events parquet matches the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      tmp.resolve("part-0.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.tumblingHourly(stream)
+      .writeStream.format("memory").queryName("evfile").outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("evfile")
+        .selectExpr("unix_micros(window.start) as hour_us", "event_type", "n", "total_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.ops.EventOps.q20Tumbling.fn(spark, sfDir)
+        .selectExpr("hour_us", "event_type", "n", "total_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("session window stream splits on the 30-minute gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
