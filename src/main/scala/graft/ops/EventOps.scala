@@ -127,5 +127,53 @@ object EventOps {
       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(q17JsonExtract, q18AsofJoin, q19Sessionize, q20Tumbling)
+  /** Interval (range) join: clicks within 10 minutes BEFORE each purchase
+    * by the same user. Planned as an equi-join on user_id with the time
+    * band as a post-join filter — hash/merge join, never a cartesian
+    * product; the band bounds the per-key fan-out. */
+  val q48IntervalJoin: QueryDef = QueryDef(
+    "q48_interval_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+                unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+                unix_micros(col("ts")).as("c_us"))
+      p.join(c, Seq("user_id"))
+        .filter(col("c_us") >= col("p_us") - lit(600000000L) && col("c_us") < col("p_us"))
+        .groupBy(col("user_id"), col("purchase_id"), col("p_us"))
+        .agg(count(lit(1)).as("clicks_before"), max(col("c_us")).as("last_click_us"))
+    },
+    Some("""WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.purchase_id, p.p_us,
+        COUNT(*) AS clicks_before, MAX(c.c_us) AS last_click_us
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.c_us >= p.p_us - 600000000 AND c.c_us < p.p_us
+      GROUP BY 1, 2, 3"""))
+
+  /** Sliding window in batch form: 1-hour windows every 15 minutes — each
+    * event lands in 4 windows (the `window(ts, span, slide)` generator
+    * explodes to window structs). */
+  val q49SlidingWindow: QueryDef = QueryDef(
+    "q49_sliding_window",
+    (s, dir) => events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"), col("n")),
+    // oracle: each event belongs to the 4 slide-aligned windows covering it
+    // (7 candidate starts around its hour always include those 4)
+    Some("""SELECT win_us, event_type, COUNT(*) AS n FROM (
+        SELECT epoch_us(date_trunc('hour', ts)) - 2700000000 + 900000000 * g.i AS win_us,
+               epoch_us(ts) AS e_us, event_type
+        FROM events, (SELECT UNNEST(range(0, 7)) AS i) g) x
+      WHERE e_us >= win_us AND e_us < win_us + 3600000000
+      GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(q17JsonExtract, q18AsofJoin, q19Sessionize, q20Tumbling,
+    q48IntervalJoin, q49SlidingWindow)
 }
