@@ -83,13 +83,18 @@ object Dedup {
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string")))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-      val aSide = banded.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-      val bSide = banded.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-      aSide.join(bSide, Seq("band", "band_hash"))
+      // candidate pairs shuffle only (band, hash, id) — the shingle arrays
+      // are joined back exactly once per surviving pair, not carried
+      // through the self-join + distinct
+      val aSide = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+      val bSide = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
+      val pairs = aSide.join(bSide, Seq("band", "band_hash"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+        .select(col("id_a"), col("id_b")).distinct()
+      val sh = shingled.select(col("doc_id"), col("shingles"))
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
         .withColumn("jac",
           size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))))

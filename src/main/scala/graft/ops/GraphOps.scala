@@ -13,23 +13,39 @@ object GraphOps {
 
   /** BFS closure with per-node depth over an arbitrary (child, parent) edge
     * table. Cycle-safe: previously-visited nodes are anti-joined away each
-    * level. */
+    * round.
+    *
+    * Each round expands the frontier by BOTH 1-hop and 2-hop edges (the
+    * 2-hop table is one extra self-join, precomputed once), halving the
+    * number of sequential rounds — the driver-side round count, not the
+    * data volume, dominates deep closures. Min-depth aggregation keeps
+    * depths exact: a node with min depth d has a parent at d-1 and (when
+    * d ≥ 2) a grandparent at d-2, each discovered in an earlier frontier,
+    * so the d-length path is always among the candidates min() sees.
+    * (Full path-doubling would reach O(log d) rounds but materializes the
+    * transitive edge set — O(n²) — which does not survive a big graph;
+    * the 2-hop table is only ~2× the input edges.)
+    */
   def descendantsWithDepth(spark: SparkSession, edgesIn: DataFrame, roots: DataFrame): DataFrame = {
-    // materialize the edge table once: every BFS level re-reads it, and
-    // without this each level would re-run the source scan
-    val edges = edgesIn.localCheckpoint()
+    // materialize the edge table once: every round re-reads it, and
+    // without this each round would re-run the source scan
+    val edges1 = edgesIn.select(col("child"), col("parent"), lit(1L).as("hop"))
+    val e2a = edgesIn.select(col("child").as("mid"), col("parent"))
+    val e2b = edgesIn.select(col("child"), col("parent").as("mid"))
+    val edges2 = e2b.join(e2a, "mid").select(col("child"), col("parent"), lit(2L).as("hop"))
+    val edges = edges1.union(edges2).localCheckpoint()
+
     var visited  = roots.select(col("node"), lit(0L).as("depth")).localCheckpoint()
     var frontier = visited
     while (!frontier.isEmpty) {
-      // localCheckpoint EVERY level: the frontier feeds both the next level
-      // and the visited union, so an unmaterialized plan doubles per level
+      // localCheckpoint EVERY round: the frontier feeds both the next round
+      // and the visited union, so an unmaterialized plan doubles per round
       // (exponential Catalyst analysis cost); checkpointing keeps it flat.
       // the frontier is small relative to the edge table: broadcast it so
-      // the edges never shuffle (17 BFS levels × an edge shuffle would
-      // dominate otherwise)
+      // the edges never shuffle
       val next = edges
         .join(broadcast(frontier), edges("parent") === frontier("node"))
-        .select(edges("child").as("node"), (frontier("depth") + 1).as("depth"))
+        .select(edges("child").as("node"), (frontier("depth") + edges("hop")).as("depth"))
         .groupBy(col("node")).agg(min(col("depth")).as("depth"))
         // visited can reach full-graph size: no broadcast hint — let
         // Catalyst/AQE pick broadcast vs shuffle from its observed size
