@@ -29,7 +29,8 @@ final case class WorkerConfig(
   * and across workers.
   */
 final class Worker(store: JobStore, handlers: Map[String, Handler],
-                   config: WorkerConfig = WorkerConfig()) {
+                   config: WorkerConfig = WorkerConfig(),
+                   reporter: Option[Reporter] = None) {
 
   private val running    = new AtomicBoolean(false)
   private val readyCache = new AtomicReference[Set[String]](Set.empty)
@@ -71,7 +72,12 @@ final class Worker(store: JobStore, handlers: Map[String, Handler],
   def runJob(job: Job): JobResult = {
     val handler = handlers.getOrElse(job.jobType,
       throw new IllegalStateException(s"missing handler for type ${job.jobType}"))
-    val result = Errors.tryThunk(Errors.failureInfo) {
+    val result = Errors.tryThunk { e =>
+      // log + conditionally ship to the reporting sink with sanitized
+      // context (reference ->job-exception-handler, errors.clj:94-108)
+      reporter.foreach(r => Reporter.dispatch(r, job, e, Map.empty))
+      Errors.failureInfo(e)
+    } {
       handler.invoke(job); JobResult(JobStatus.Finished)
     }
     result.status match {

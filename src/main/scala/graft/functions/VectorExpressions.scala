@@ -140,4 +140,17 @@ object VectorFunctions {
 
   def vector_lsh_bits(v: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(VectorLshBits(ColumnBridge.expression(v), planes))
+
+  /** Expose vector_dot / vector_cosine to the SQL surface of a session
+    * (`SELECT vector_dot(a, b) FROM ...`). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, "vector_dot",
+      exprs => VectorDot(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "vector_cosine", exprs =>
+      org.apache.spark.sql.catalyst.expressions.Divide(
+        VectorDot(exprs(0), exprs(1)),
+        org.apache.spark.sql.catalyst.expressions.Multiply(
+          org.apache.spark.sql.catalyst.expressions.Sqrt(VectorDot(exprs(0), exprs(0))),
+          org.apache.spark.sql.catalyst.expressions.Sqrt(VectorDot(exprs(1), exprs(1))))))
+  }
 }

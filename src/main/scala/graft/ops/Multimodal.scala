@@ -76,5 +76,25 @@ object Multimodal {
         i -> ord(text[i]))) AS BIGINT) AS byte_sum
       FROM documents"""))
 
-  val all: Seq[QueryDef] = Seq(q32Multimodal)
+  /** Frame-level output of the decode path: one row per sampled frame with
+    * its byte count and feature — the shape a video/audio pipeline hands to
+    * a downstream embedding stage. Oracle recomputes every frame window
+    * byte-for-byte in SQL. */
+  val q53FrameFeatures: QueryDef = QueryDef(
+    "q53_frame_features",
+    (s, dir) => {
+      val media = Tables(s, dir).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      extractFrames(media)
+        .select(col("doc_id"), col("frame_id"), col("frame_bytes"), col("feature"))
+    },
+    Some("""SELECT doc_id, CAST(g.i AS INTEGER) AS frame_id,
+        CAST(least(256, strlen(text) - 256 * g.i) AS INTEGER) AS frame_bytes,
+        CAST(list_sum(list_transform(
+          range(1, least(256, strlen(text) - 256 * g.i) + 1),
+          j -> ord(substr(text, 256 * g.i + j, 1)))) AS BIGINT) AS feature
+      FROM documents, (SELECT UNNEST(range(0, 100)) AS i) g
+      WHERE g.i * 256 < strlen(text)"""))
+
+  val all: Seq[QueryDef] = Seq(q32Multimodal, q53FrameFeatures)
 }

@@ -31,6 +31,19 @@ class VectorDotSpec extends SparkTestBase {
     assert(df.collect().forall(_.getDouble(0) > 0))
   }
 
+  test("vector_dot is SQL-callable after registerSql") {
+    VectorFunctions.registerSql(spark)
+    Tables(spark, sfDir).embeddings.limit(5).createOrReplaceTempView("emb_sql")
+    val rows = spark.sql(
+      "SELECT vec_id, vector_dot(embedding, embedding) AS d, vector_cosine(embedding, embedding) AS c FROM emb_sql")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9) // self-cosine = 1
+    }
+  }
+
   test("vector_dot rejects non-float-array inputs at analysis time") {
     val df = spark.range(3).selectExpr("array(id) as xs") // array<bigint>
     intercept[org.apache.spark.sql.AnalysisException] {
