@@ -68,5 +68,49 @@ object Analytics {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"""))
 
-  val all: Seq[QueryDef] = Seq(q36GroupingSets, q37Percentiles, q38AnalyticWindows)
+  /** Moment statistics computed from DECIMAL-exact power sums: stddev and
+    * correlation are order-dependent when accumulated in floating point
+    * (Welford/naive both), so the engine-portable form is exact Σx, Σx²,
+    * Σxy folded once, then the closed-form moments in double — identical
+    * bits on any partitioning and any engine. */
+  val q54MomentStats: QueryDef = QueryDef(
+    "q54_moment_stats",
+    (s, dir) => {
+      val sq  = sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+      val sqq = sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(22, 8))).cast("double")
+      val sp  = sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double")
+      val spp = sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(30, 8))).cast("double")
+      val sqp = sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(30, 8))).cast("double")
+      val n   = count(lit(1)).cast("double")
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sq / n).as("mean_qty"),
+          sqrt((sqq - sq * sq / n) / (n - lit(1.0))).as("std_qty"),
+          // the power sums reach ~1e13 where DuckDB's decimal→double path
+          // can differ from the JVM's by 1 ulp — round the final statistic
+          round((n * sqp - sq * sp) /
+            (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 9).as("corr_qty_price"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS mean_qty,
+      sqrt((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(22,8))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+           / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS std_qty,
+      round(
+        (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE))
+        / (sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(22,8))) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
+           * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE))),
+        9) AS corr_qty_price
+      FROM lineitem GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q36GroupingSets, q37Percentiles, q38AnalyticWindows, q54MomentStats)
 }

@@ -109,5 +109,36 @@ object Similarity {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(q30CosineKnn, q31LshAnn)
+  /** Embedding-cosine near-dup dedup: all pairs above the similarity
+    * threshold, reduced to (dup → keeper) with keeper = the smallest
+    * linked id. Exact O(n²) scoring here — tractable because the codegen'd
+    * VectorDot makes the pair scan compute-bound, and it doubles as the
+    * recall-1.0 oracle for this table size; at corpus scale the candidate
+    * generator swaps to the LSH banding of q31 unchanged (same scoring
+    * and reduction on the candidate set). */
+  val q55EmbeddingDedup: QueryDef = QueryDef(
+    "q55_embedding_dedup",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      a.crossJoin(b).filter(col("ia") < col("ib"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") > 0.4)
+        .groupBy(col("ib").as("dup_id"))
+        .agg(min(col("ia")).as("keeper_id"),
+             count(lit(1)).as("n_links"),
+             max(col("cos")).as("best_cos"))
+    },
+    Some("""WITH pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT ib AS dup_id, MIN(ia) AS keeper_id, COUNT(*) AS n_links, MAX(cos) AS best_cos
+      FROM pairs WHERE cos > 0.4 GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q30CosineKnn, q31LshAnn, q55EmbeddingDedup)
 }
