@@ -25,6 +25,7 @@ object SparkEntry {
       "enrich" -> Seq("ingest"),
       "report" -> Seq("enrich"))))
 
+    import org.apache.spark.sql.functions._
     var enriched: Option[DataFrame] = None
     var report: Option[DataFrame]   = None
     val t = Tables(spark, dir)
@@ -33,11 +34,18 @@ object SparkEntry {
       "enrich" -> Handler { _ =>
         enriched = Some(
           t.lineitem
-            .join(t.orders, org.apache.spark.sql.functions.col("l_orderkey") ===
-              org.apache.spark.sql.functions.col("o_orderkey")))
+            .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey")))
       },
       "report" -> Handler { _ =>
-        report = Some(Relational.q03RevenueByNation.fn(spark, dir))
+        // consumes the enrich stage's output — data flows along the DAG
+        report = Some(enriched.get
+          .groupBy(col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .cast(org.apache.spark.sql.types.DecimalType(22, 8)))
+               .cast("double").as("revenue"),
+               count(lit(1)).as("n_items")))
       })
 
     new Worker(store, handlers, WorkerConfig(seed = Some(42L))).runUntilIdle()

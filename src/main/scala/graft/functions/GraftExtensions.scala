@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration for the custom expressions: sessions
+  * built with `spark.sql.extensions=graft.functions.GraftExtensions` get
+  * `vector_dot` available in SQL from the start (the live-session path is
+  * `VectorFunctions.registerSql`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+  }
+}

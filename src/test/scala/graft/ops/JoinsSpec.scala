@@ -61,6 +61,15 @@ class JoinsSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("repartitionByRange plans RangePartitioning (sorted layout for writes)") {
+    val df = Tables(spark, sfDir).lineitem
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(l_shipdate"), plan)
+    assert(df.count() > 0)
+  }
+
   test("outer joins and arg-min/max queries return rows at sf0.001") {
     assert(Joins.q39OuterJoin.fn(spark, sfDir).count() > 0)
     val mm = Joins.q41MinMaxBy.fn(spark, sfDir).collect()
