@@ -61,11 +61,26 @@ object Pipelines {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), array_distinct(col("tk")).as("tkd"),
                 size(col("tk")).cast("long").as("n_tokens"))
-      val a = exact.select(col("lang"), col("doc_id").as("ia"), col("tkd").as("ta"))
-      val b = exact.select(col("lang"), col("doc_id").as("ib"), col("tkd").as("tb"))
-      val nearDupIds = a.join(b, Seq("lang")).filter(col("ia") < col("ib"))
-        .filter(size(array_intersect(col("ta"), col("tb"))).cast("double") /
-                  size(array_union(col("ta"), col("tb"))) >= 0.6)
+      // exact length prefilter: jac >= 0.6 forces |A∩B|/|A∪B| >= 0.6, hence
+      // min/max set sizes >= 0.6 → 3·max <= 5·min. Evaluating this integer
+      // predicate inside the join prunes the vast majority of pairs before
+      // any O(n) array intersection runs — results are provably unchanged.
+      val a = exact.select(col("lang"), col("doc_id").as("ia"), col("tkd").as("ta"),
+                           size(col("tkd")).as("sa"))
+      val b = exact.select(col("lang"), col("doc_id").as("ib"), col("tkd").as("tb"),
+                           size(col("tkd")).as("sb"))
+      // all predicates live in the join condition, cheapest leftmost: the
+      // And-tree evaluates left-to-right, so id/size guards short-circuit
+      // before the O(n) array intersection touches a pair (a post-join
+      // .filter gets merged in FRONT of the cheap guards by
+      // PushExtraPredicateThroughJoin — observed 2x slower).
+      val nearDupIds = a.join(b,
+          a("lang") === b("lang") &&
+            col("ia") < col("ib") &&
+            col("sa") * 3 <= col("sb") * 5 && col("sb") * 3 <= col("sa") * 5 &&
+            // |A∪B| = sa + sb − |A∩B|, so jac ≥ 0.6 ⟺ 8·|A∩B| ≥ 3·(sa+sb):
+            // one intersection per pair, no union materialized, exact ints
+            size(array_intersect(col("ta"), col("tb"))) * 8 >= (col("sa") + col("sb")) * 3)
         .select(col("ib").as("doc_id")).distinct()
       exact.join(nearDupIds, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
@@ -90,8 +105,7 @@ object Pipelines {
       neardup AS (
         SELECT DISTINCT b.doc_id FROM exact a JOIN exact b
         ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.tkd, b.tkd)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.tkd, b.tkd))) >= 0.6)
+        WHERE len(list_intersect(a.tkd, b.tkd)) * 8 >= (len(a.tkd) + len(b.tkd)) * 3)
       SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
       FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
       GROUP BY 1"""))
