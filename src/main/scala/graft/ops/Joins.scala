@@ -85,14 +85,16 @@ object Joins {
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(
         col("doc_id"),
-        slice(array_sort(array_distinct(col("toks"))), 1, 5).as("first5"),
-        transform(slice(col("toks"), 1, 3), t => concat(t, lit("!"))).as("bang3"),
+        // arrays are stringified: the driver's pandas compare cannot sort
+        // or hash list cells (unhashable ndarray), so surface scalar text
+        array_join(slice(array_sort(array_distinct(col("toks"))), 1, 5), "|").as("first5"),
+        array_join(transform(slice(col("toks"), 1, 3), t => concat(t, lit("!"))), "|").as("bang3"),
         size(filter(col("toks"), t => length(t) > 5)).cast("long").as("n_long"),
         array_contains(col("toks"), "data").as("has_data")),
     Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents)
       SELECT doc_id,
-        list_sort(list_distinct(toks))[1:5] AS first5,
-        list_transform(toks[1:3], t -> t || '!') AS bang3,
+        array_to_string(list_sort(list_distinct(toks))[1:5], '|') AS first5,
+        array_to_string(list_transform(toks[1:3], t -> t || '!'), '|') AS bang3,
         CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT) AS n_long,
         list_contains(toks, 'data') AS has_data
       FROM t"""))

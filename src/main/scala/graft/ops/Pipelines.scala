@@ -65,17 +65,17 @@ object Pipelines {
       // min/max set sizes >= 0.6 → 3·max <= 5·min. Evaluating this integer
       // predicate inside the join prunes the vast majority of pairs before
       // any O(n) array intersection runs — results are provably unchanged.
-      val a = exact.select(col("lang"), col("doc_id").as("ia"), col("tkd").as("ta"),
-                           size(col("tkd")).as("sa"))
-      val b = exact.select(col("lang"), col("doc_id").as("ib"), col("tkd").as("tb"),
-                           size(col("tkd")).as("sb"))
+      val a = exact.select(col("lang").as("langa"), col("doc_id").as("ia"),
+                           col("tkd").as("ta"), size(col("tkd")).as("sa"))
+      val b = exact.select(col("lang").as("langb"), col("doc_id").as("ib"),
+                           col("tkd").as("tb"), size(col("tkd")).as("sb"))
       // all predicates live in the join condition, cheapest leftmost: the
       // And-tree evaluates left-to-right, so id/size guards short-circuit
       // before the O(n) array intersection touches a pair (a post-join
       // .filter gets merged in FRONT of the cheap guards by
       // PushExtraPredicateThroughJoin — observed 2x slower).
       val nearDupIds = a.join(b,
-          a("lang") === b("lang") &&
+          col("langa") === col("langb") &&
             col("ia") < col("ib") &&
             col("sa") * 3 <= col("sb") * 5 && col("sb") * 3 <= col("sa") * 5 &&
             // |A∪B| = sa + sb − |A∩B|, so jac ≥ 0.6 ⟺ 8·|A∩B| ≥ 3·(sa+sb):
@@ -106,7 +106,10 @@ object Pipelines {
         SELECT DISTINCT b.doc_id FROM exact a JOIN exact b
         ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.tkd, b.tkd)) * 8 >= (len(a.tkd) + len(b.tkd)) * 3)
-      SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+      SELECT lang, COUNT(*) AS n_docs,
+        -- aggregate SUM(BIGINT) yields HUGEINT in DuckDB, which pandas
+        -- renders as float64 and hash-mismatches Spark's int64 — cast back
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
       GROUP BY 1"""))
 
