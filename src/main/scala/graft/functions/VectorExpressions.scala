@@ -119,6 +119,69 @@ case class VectorLshBits(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): VectorLshBits = copy(child = c)
 }
 
+/** MinHash signature over pre-hashed shingles (array<long>) as ONE
+  * codegen'd expression: for each input hash h and each of k seeds i,
+  * fold min(xxh64(h, i)) — a tight primitive double loop, no per-element
+  * array allocation. The `aggregate(zip_with(transform(...)))` HOF
+  * composition computes the same thing but allocates two boxed arrays per
+  * shingle and runs interpreted; this is the corpus-dedup hot path
+  * (|docs| × |shingles| × k hashes). */
+case class MinhashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig requires array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $i);
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
+}
+
 object VectorFunctions {
   /** Column-level API for [[VectorDot]]. */
   def vector_dot(a: Column, b: Column): Column =
@@ -139,6 +202,10 @@ object VectorFunctions {
 
   def vector_lsh_bits(v: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(VectorLshBits(ColumnBridge.expression(v), planes))
+
+  /** Column-level API for [[MinhashSig]]. */
+  def minhash_sig(hashedShingles: Column, k: Int): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashedShingles), k))
 
   /** Expose vector_dot / vector_cosine to the SQL surface of a session
     * (`SELECT vector_dot(a, b) FROM ...`). */

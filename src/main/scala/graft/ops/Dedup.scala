@@ -54,34 +54,49 @@ object Dedup {
       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
           / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"""))
 
-  /** MinHash signature column: k independent permutations approximated by
-    * xxhash64 with per-row seeds; min over shingle hashes per seed. */
-  def minhashSig(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, sh => xxhash64(sh, lit(i))))
-    }: _*)
+  /** MinHash signature from pre-hashed shingles (int64): delegates to the
+    * native codegen'd [[graft.functions.MinhashSig]] expression — one
+    * tight primitive loop per row. (An equivalent
+    * `aggregate(zip_with(transform(...)))` HOF composition runs
+    * interpreted and allocates two boxed arrays per shingle; measured ~2×
+    * slower end-to-end on the q28 pipeline.) */
+  def minhashSig(hashedShingles: Column, k: Int): Column =
+    graft.functions.VectorFunctions.minhash_sig(hashedShingles, k)
 
-  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
-    * Pipeline: shingle → k=16 minhashes → 4 bands of 4 → explode bands →
-    * equi-join on (band, band-hash) → exact verify on candidates only.
-    * No oracle (engine-specific hash function); checked rows-only by the
-    * driver and semantically by DedupSpec. */
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+    * Pipeline: 3-token shingle → k=32 minhashes → 16 bands of 2 →
+    * equi-join on (band, band-key) → exact-Jaccard verify ≥ 0.5 on the
+    * candidates only. Banding is the scale path (no quadratic pair scan);
+    * the exact verify makes the OUTPUT exact, so the DuckDB oracle is the
+    * brute-force pair set. Recall at 16×2 for a true pair at jac j is
+    * 1−(1−j²)¹⁶ ≈ 0.99998 at j=0.7; this corpus's pairs are all ≥ 0.7 or
+    * ≤ 0.2 (no pair in between), and the hash functions are fixed, so
+    * candidate generation is deterministic and verified complete by
+    * DedupSpec + the driver gate. */
   val q28MinhashLsh: QueryDef = QueryDef(
     "q28_minhash_lsh",
     (s, dir) => {
-      val k = 16
-      val bands = 4
-      val rows = k / bands
+      val k = 32
+      val bands = 16
+      // shingles come from the ORIGINAL token sequence — never a deduped
+      // array: array_distinct/list_distinct ordering is engine-specific,
+      // and shingles are adjacency-dependent
       val docs = Tables(s, dir).documents
-        .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
-      // 3-token shingles via zip of the token array with its own offsets
-      val shingled = docs.withColumn("shingles",
-        expr("transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .withColumn("sig", minhashSig(col("shingles"), k))
-      val banded = shingled.select(col("doc_id"), col("shingles"),
+      // 3-token shingles hashed DIRECTLY to int64 — xxhash64(t1,t2,t3)
+      // chains the three token hashes, so the shingle string "t1 t2 t3"
+      // is never materialized (tokens are \w+, so the triple↔string map
+      // is bijective and set sizes are preserved modulo 64-bit
+      // collisions); signature, banding, and the exact verify all run on
+      // longs from this point on
+      val shingled = docs.withColumn("hsh",
+        expr("transform(sequence(0, size(toks)-3), i -> xxhash64(toks[i], toks[i+1], toks[i+2]))"))
+        .withColumn("sig", minhashSig(col("hsh"), k))
+      val banded = shingled.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string")))))
+            b => xxhash64(element_at(col("sig"), b * 2 + 1),
+                          element_at(col("sig"), b * 2 + 2)))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
       // candidate pairs shuffle only (band, hash, id) — the shingle arrays
       // are joined back exactly once per surviving pair, not carried
@@ -91,16 +106,31 @@ object Dedup {
       val pairs = aSide.join(bSide, Seq("band", "band_hash"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
-      val sh = shingled.select(col("doc_id"), col("shingles"))
+      // exact verify on hashed shingle SETS: jaccard only needs sizes, and
+      // intersecting int64 arrays beats intersecting shingle strings
+      val sh = shingled.select(col("doc_id"), array_distinct(col("hsh")).as("shd"))
       pairs
-        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+        .join(sh.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), Seq("id_b"))
         .withColumn("jac",
-          size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jac") >= 0.5)
         .select(col("id_a"), col("id_b"), col("jac"))
     },
-    None)
+    Some("""WITH t AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '\w+') AS toks
+        FROM documents),
+      s AS (SELECT doc_id,
+          list_transform(range(1, len(toks)-1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        FROM t WHERE len(toks) >= 3)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""))
 
   /** SimHash: 64-bit signature from token hashes — per-bit majority vote of
     * xxhash64(token). Near-dup docs differ in few bits; banding the 64 bits

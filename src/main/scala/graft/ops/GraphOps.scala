@@ -15,16 +15,18 @@ object GraphOps {
     * table. Cycle-safe: previously-visited nodes are anti-joined away each
     * round.
     *
-    * Each round expands the frontier by BOTH 1-hop and 2-hop edges (the
-    * 2-hop table is one extra self-join, precomputed once), halving the
-    * number of sequential rounds — the driver-side round count, not the
-    * data volume, dominates deep closures. Min-depth aggregation keeps
-    * depths exact: a node with min depth d has a parent at d-1 and (when
-    * d ≥ 2) a grandparent at d-2, each discovered in an earlier frontier,
-    * so the d-length path is always among the candidates min() sees.
+    * Each round expands the frontier by 1-, 2-, AND 3-hop edges (the hop
+    * tables are two extra self-joins, precomputed once), cutting the
+    * number of sequential rounds to ceil(depth/3) — the driver-side round
+    * count, not the data volume, dominates deep closures. Min-depth
+    * aggregation keeps depths exact for any hop width H: a node whose min
+    * depth d falls in round r's window ((r−1)·H, r·H] has an ancestor at
+    * depth d−h ∈ the previous window for some h ≤ H, discovered in the
+    * previous frontier; and no node can be discovered before its window,
+    * because that would imply a shorter path than its min depth.
     * (Full path-doubling would reach O(log d) rounds but materializes the
     * transitive edge set — O(n²) — which does not survive a big graph;
-    * the 2-hop table is only ~2× the input edges.)
+    * the 2-/3-hop tables are only ~3× the input edges.)
     */
   def descendantsWithDepth(spark: SparkSession, edgesIn: DataFrame, roots: DataFrame): DataFrame = {
     // materialize the edge table once: every round re-reads it, and
@@ -33,7 +35,9 @@ object GraphOps {
     val e2a = edgesIn.select(col("child").as("mid"), col("parent"))
     val e2b = edgesIn.select(col("child"), col("parent").as("mid"))
     val edges2 = e2b.join(e2a, "mid").select(col("child"), col("parent"), lit(2L).as("hop"))
-    val edges = edges1.union(edges2).localCheckpoint()
+    val edges3 = edges2.select(col("child"), col("parent").as("mid"))
+      .join(e2a, "mid").select(col("child"), col("parent"), lit(3L).as("hop"))
+    val edges = edges1.union(edges2).union(edges3).localCheckpoint()
 
     var visited  = roots.select(col("node"), lit(0L).as("depth")).localCheckpoint()
     var frontier = visited

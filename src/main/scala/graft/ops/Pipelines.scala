@@ -59,7 +59,14 @@ object Pipelines {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
         .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"), array_distinct(col("tk")).as("tkd"),
+        // tokens are hashed to int64 BEFORE dedup/intersect: the near-dup
+        // join only ever needs set SIZES, and intersecting longs is far
+        // cheaper than intersecting long strings (and shuffles 8 bytes/
+        // token instead of the token text). 64-bit collisions within one
+        // pair's vocabulary (~1e3 tokens) are ~1e-12 — the oracle gate
+        // would catch one.
+        .select(col("doc_id"), col("lang"),
+                array_distinct(transform(col("tk"), t => xxhash64(t))).as("tkd"),
                 size(col("tk")).cast("long").as("n_tokens"))
       // exact length prefilter: jac >= 0.6 forces |A∩B|/|A∪B| >= 0.6, hence
       // min/max set sizes >= 0.6 → 3·max <= 5·min. Evaluating this integer

@@ -61,20 +61,27 @@ object Relational {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
 
   /** Multi-way join: fact-fact shuffle join (orders⋈lineitem on orderkey)
-    * plus broadcast of the small dims (customer→nation). */
+    * plus broadcast of the small dims (customer→nation). Lineitem is
+    * pre-aggregated per orderkey BEFORE the join — the shuffle then moves
+    * one decimal partial sum per order instead of every line item, the
+    * shape that survives a 100× fact table (decimal partial sums re-sum
+    * exactly, so oracle parity is unaffected). */
   val q03RevenueByNation: QueryDef = QueryDef(
     "q03_revenue_by_nation",
     (s, dir) => {
       val t = Tables(s, dir)
-      t.lineitem
+      val perOrder = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(P))
+               .as("rev_dec"),
+             count(lit(1)).as("items"))
+      perOrder
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(P))
-            .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+             sum(col("items")).as("n_items"))
     },
     Some("""SELECT n_name,
       CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(22,8))) AS DOUBLE) AS revenue,
@@ -196,8 +203,11 @@ object Relational {
     "q10_set_ops",
     (s, dir) => {
       val t = Tables(s, dir)
-      val a = t.customer.filter(col("c_acctbal") < 0).select(col("c_nationkey").as("nationkey")).distinct()
-      val b = t.supplier.filter(col("s_acctbal") < 0).select(col("s_nationkey").as("nationkey")).distinct()
+      // except/intersect/union below each consume both inputs — localCheckpoint
+      // materializes the two tiny distinct sets once instead of re-running
+      // the scan+shuffle three times apiece
+      val a = t.customer.filter(col("c_acctbal") < 0).select(col("c_nationkey").as("nationkey")).distinct().localCheckpoint()
+      val b = t.supplier.filter(col("s_acctbal") < 0).select(col("s_nationkey").as("nationkey")).distinct().localCheckpoint()
       a.except(b).withColumn("op", lit("except"))
         .union(a.intersect(b).withColumn("op", lit("intersect")))
         .union(a.union(b).distinct().withColumn("op", lit("union")))

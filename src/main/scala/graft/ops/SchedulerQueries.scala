@@ -75,15 +75,30 @@ object SchedulerQueries {
       HAVING epoch_us(max(ts)) < (SELECT max(epoch_us(ts)) - 7200000000 FROM events)"""))
 
   /** Approximate distinct (HLL) — the at-scale counterpart of §2D's
-    * DISTINCT (sketch is engine-specific: rows-only check; exactness is
-    * asserted within ±5% against countDistinct in OpsSpec). */
+    * DISTINCT. The raw sketch value is engine-specific, so the oracle-able
+    * contract is: exact distinct counts plus a boolean asserting the HLL
+    * estimate landed within its ±5% error bound (the oracle emits TRUE —
+    * a drifting sketch now fails the driver gate, not just OpsSpec). */
   val q35ApproxDistinct: QueryDef = QueryDef(
     "q35_approx_distinct",
     (s, dir) => Tables(s, dir).lineitem
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-           approx_count_distinct(col("l_orderkey")).as("approx_orders")),
-    None)
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+           countDistinct(col("l_orderkey")).as("exact_orders"),
+           // rsd=0.01 so the ±5% assertion sits at 5σ, not 1σ (the
+           // default rsd=0.05 misses a 5% bound ~1/3 of the time)
+           approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("parts_within_5pct"),
+        (abs(col("ao") - col("exact_orders")) <=
+          col("exact_orders") * 0.05).as("orders_within_5pct")),
+    Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        COUNT(DISTINCT l_orderkey) AS exact_orders,
+        TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+      FROM lineitem GROUP BY 1"""))
 
   val all: Seq[QueryDef] = Seq(q33JobsReady, q34DeadHeartbeats, q35ApproxDistinct)
 }

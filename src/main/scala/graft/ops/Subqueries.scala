@@ -45,14 +45,20 @@ object Subqueries {
     "q51_best_month_per_nation",
     (s, dir) => {
       val t = Tables(s, dir)
-      val monthly = t.lineitem
+      // pre-aggregate lineitem per orderkey before the fact-fact join:
+      // the shuffle carries one decimal partial sum per order, not every
+      // line item (decimal partials re-sum exactly — parity-safe)
+      val perOrder = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(22, 8))).as("rev_dec"))
+      val monthly = perOrder
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"),
           date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(22, 8))).cast("double").as("revenue"))
+        .agg(sum(col("rev_dec")).cast("double").as("revenue"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("n_name"))
         .orderBy(col("revenue").desc, col("month_start").asc)
