@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Second wave of LLM-training-corpus operators: chunking, n-gram language
+  * model counts, calendar gap-filling, event-stream compaction, k-means-
+  * style centroid assignment over embeddings, and value histograms. All
+  * pure `functions._` column expressions (codegen'd, no UDFs), each with a
+  * DuckDB oracle.
+  */
+object CorpusOps {
+
+  /** Fixed-size token chunking with overlap (size 50, stride 40): the
+    * standard pre-tokenization step that turns documents into training
+    * windows. A generator op: sequence + explode + slice — one output row
+    * per chunk, computed without materializing any intermediate arrays
+    * beyond the token list. */
+  val q58DocChunking: QueryDef = QueryDef(
+    "q58_doc_chunking",
+    (s, dir) => Tables(s, dir).documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), expr("(size(toks) - 1) div 40"))).as("chunk_id"))
+      .withColumn("chunk", slice(col("toks"), col("chunk_id") * 40 + 1, lit(50)))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("chunk"), " ").as("chunk_text"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens")),
+    Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+        FROM documents),
+      c AS (SELECT doc_id, toks,
+          UNNEST(range(0, (len(toks)-1)//40 + 1)) AS chunk_id
+        FROM t WHERE len(toks) > 0)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text,
+        CAST(len(toks[chunk_id*40+1 : chunk_id*40+50]) AS BIGINT) AS n_chunk_tokens
+      FROM c"""))
+
+  /** Per-language top-10 bigram counts — the n-gram LM statistics pass.
+    * Bigrams come from the raw token sequence (adjacency-dependent), are
+    * counted with one hash aggregate, and ranked with a per-language
+    * window top-k. */
+  val q60BigramTopk: QueryDef = QueryDef(
+    "q60_bigram_topk",
+    (s, dir) => {
+      val bi = Tables(s, dir).documents
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+        .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
+      bi.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("bigram"), col("n"), col("rank"))
+    },
+    Some("""WITH t AS (SELECT lang, regexp_extract_all(lower(text), '\w+') AS toks
+        FROM documents),
+      b AS (SELECT lang,
+          UNNEST(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY n DESC, bigram) AS BIGINT) AS rank FROM c)
+      SELECT lang, bigram, n, rank FROM r WHERE rank <= 10"""))
+
+  /** Calendar spine with gap filling: generate every day in the order
+    * date range, left-join daily aggregates, zero-fill the holes — the
+    * canonical reporting/backfill shape (a sequence generator instead of a
+    * stored calendar table). */
+  val q59DateSpine: QueryDef = QueryDef(
+    "q59_date_spine",
+    (s, dir) => {
+      val o = Tables(s, dir).orders.withColumn("day", col("o_orderdate").cast("date"))
+      val daily = o.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      val spine = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+    },
+    Some("""WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+          CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+      spine AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1)
+      SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+        COALESCE(d.revenue, 0.0) AS revenue
+      FROM spine s LEFT JOIN daily d USING (day)"""))
+
+  /** Event-stream compaction: drop events whose type equals the previous
+    * event's type for the same user (consecutive-duplicate elimination via
+    * lag — the state-compaction pass run before sessionization). */
+  val q61EventCompaction: QueryDef = QueryDef(
+    "q61_event_compaction",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      EventOps.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_kept"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_type,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_kept FROM o
+      WHERE prev_type IS NULL OR prev_type <> event_type
+      GROUP BY 1"""))
+
+  /** Nearest-centroid assignment over embeddings — the E-step of k-means /
+    * the probe step of IVF ANN: per-label centroids from a posexplode +
+    * per-dimension mean, then every vector scored against every centroid
+    * and assigned by best cosine. Centroid means and cosines are rounded
+    * (9/6 dp) because double summation order differs across partitionings
+    * and engines. */
+  val q62CentroidAssign: QueryDef = QueryDef(
+    "q62_centroid_assign",
+    (s, dir) => {
+      val flat = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("dim"),
+                col("col").cast("double").as("v"))
+      val cent = flat.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(round(avg(col("v")), 9).as("c"))
+      val scored = flat.join(cent, Seq("dim"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg(sum(col("v") * col("c")).as("dot"),
+             sum(col("v") * col("v")).as("v2"),
+             sum(col("c") * col("c")).as("c2"))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(col("dot") / (sqrt(col("v2")) * sqrt(col("c2"))), 6).as("cos"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("clabel").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label").as("true_label"),
+                col("clabel").as("assigned_label"), col("cos").as("best_cos"))
+    },
+    Some("""WITH flat AS (SELECT vec_id, label, t.gs AS dim,
+          CAST(embedding[t.gs] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(gs)),
+      cent AS (SELECT label AS clabel, dim, round(avg(v), 9) AS c
+        FROM flat GROUP BY 1, 2),
+      scored AS (SELECT f.vec_id, f.label, c.clabel,
+          round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+        FROM flat f JOIN cent c ON f.dim = c.dim
+        GROUP BY 1, 2, 3),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn FROM scored)
+      SELECT vec_id, label AS true_label, clabel AS assigned_label,
+        cos AS best_cos
+      FROM ranked WHERE rn = 1"""))
+
+  /** Equi-width histogram of order values: floor-bucketing plus each
+    * bucket's share of the total (a windowed grand total, not a driver
+    * round trip). */
+  val q63PriceHistogram: QueryDef = QueryDef(
+    "q63_price_histogram",
+    (s, dir) => Tables(s, dir).orders
+      .groupBy((floor(col("o_totalprice") / 50000) * 50000L).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct", round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 6))
+      .select(col("bucket_lo"), col("n"), col("pct")),
+    Some("""WITH h AS (SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT bucket_lo, n, round(n * 100.0 / SUM(n) OVER (), 6) AS pct FROM h"""))
+
+  val all: Seq[QueryDef] = Seq(q58DocChunking, q59DateSpine, q60BigramTopk,
+    q61EventCompaction, q62CentroidAssign, q63PriceHistogram)
+}
