@@ -119,6 +119,76 @@ case class VectorLshBits(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): VectorLshBits = copy(child = c)
 }
 
+/** Intersection SIZE of two SORTED long-array columns by two-pointer
+  * merge — zero allocation, O(|a|+|b|), inside whole-stage codegen.
+  * `size(array_intersect(a, b))` computes the same count but builds a
+  * hash set and materializes the intersection array per row; on a
+  * near-dup pair scan (millions of pairs × hundreds of elements) the
+  * merge count is the difference between compute-bound and
+  * allocation-bound. Inputs MUST be sorted ascending (array_sort) and
+  * duplicate-free (array_distinct) — callers own that invariant. */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** MinHash signature over pre-hashed shingles (array<long>) as ONE
   * codegen'd expression: for each input hash h and each of k seeds i,
   * fold min(xxh64(h, i)) — a tight primitive double loop, no per-element
@@ -206,6 +276,11 @@ object VectorFunctions {
   /** Column-level API for [[MinhashSig]]. */
   def minhash_sig(hashedShingles: Column, k: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashedShingles), k))
+
+  /** Column-level API for [[SortedIntersectCount]] — inputs must be
+    * sorted + distinct. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Expose vector_dot / vector_cosine to the SQL surface of a session
     * (`SELECT vector_dot(a, b) FROM ...`). */

@@ -64,9 +64,10 @@ object Pipelines {
         // cheaper than intersecting long strings (and shuffles 8 bytes/
         // token instead of the token text). 64-bit collisions within one
         // pair's vocabulary (~1e3 tokens) are ~1e-12 — the oracle gate
-        // would catch one.
+        // would catch one. Sorted so the pair scan can use the zero-alloc
+        // merge-count expression instead of hash-set array_intersect.
         .select(col("doc_id"), col("lang"),
-                array_distinct(transform(col("tk"), t => xxhash64(t))).as("tkd"),
+                array_sort(array_distinct(transform(col("tk"), t => xxhash64(t)))).as("tkd"),
                 size(col("tk")).cast("long").as("n_tokens"))
       // exact length prefilter: jac >= 0.6 forces |A∩B|/|A∪B| >= 0.6, hence
       // min/max set sizes >= 0.6 → 3·max <= 5·min. Evaluating this integer
@@ -86,8 +87,10 @@ object Pipelines {
             col("ia") < col("ib") &&
             col("sa") * 3 <= col("sb") * 5 && col("sb") * 3 <= col("sa") * 5 &&
             // |A∪B| = sa + sb − |A∩B|, so jac ≥ 0.6 ⟺ 8·|A∩B| ≥ 3·(sa+sb):
-            // one intersection per pair, no union materialized, exact ints
-            size(array_intersect(col("ta"), col("tb"))) * 8 >= (col("sa") + col("sb")) * 3)
+            // one codegen'd two-pointer merge count per pair — no union,
+            // no hash set, no output array, exact ints
+            graft.functions.VectorFunctions.sorted_intersect_count(col("ta"), col("tb")) * 8
+              >= (col("sa") + col("sb")) * 3)
         .select(col("ib").as("doc_id")).distinct()
       exact.join(nearDupIds, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))

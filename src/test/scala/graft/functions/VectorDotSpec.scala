@@ -66,4 +66,46 @@ class VectorDotSpec extends SparkTestBase {
     val q50 = Aggregators.LogHistogramAgg.quantile(h, 0.5)
     assert(q50 >= 256 && q50 <= 1024, s"median bin $q50")
   }
+
+  test("minhash_sig matches a driver-side XXH64 reference and stays in codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val inputs = Seq(
+      (1L, Seq(7L, 42L, 99L, 7L)),
+      (2L, Seq.empty[Long]),
+      (3L, Seq(Long.MaxValue, Long.MinValue, 0L)))
+    val k = 8
+    def expected(hs: Seq[Long]): Seq[Long] =
+      (0 until k).map { i =>
+        hs.foldLeft(Long.MaxValue)((m, h) => math.min(m, XXH64.hashLong(h, i)))
+      }
+    // repartition blocks ConvertToLocalRelation from folding the project
+    // into a LocalTableScan, so the codegen assertion sees a real stage
+    val df = inputs.toDF("id", "hs").repartition(1)
+    val rows = df.select(col("id"), VectorFunctions.minhash_sig(col("hs"), k).as("native"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    inputs.foreach { case (id, hs) =>
+      assert(rows(id) == expected(hs), s"id=$id")
+    }
+    // AQE finalizes (and decorates) the physical plan only on execution
+    val sigDf = df.select(VectorFunctions.minhash_sig(col("hs"), k))
+    sigDf.collect()
+    val plan = sigDf.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen in:\n$plan")
+  }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 50).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (i.toLong, a, b)
+    }
+    val df = data.toDF("id", "a", "b")
+      .select(col("id"),
+        VectorFunctions.sorted_intersect_count(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(df.filter(col("native") =!= col("ref")).count() == 0)
+  }
 }
