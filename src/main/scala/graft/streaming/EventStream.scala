@@ -42,4 +42,29 @@ object EventStream {
            sum(col("value").cast(M)).cast("double").as("total_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
               col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup on (user_id, event_type) within the watermark
+    * horizon — `dropDuplicates` keeps per-key state; the watermark bounds
+    * it, so state size is O(distinct keys per horizon), not O(stream). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-stream inner join: click-like events joined to view-like
+    * events for the same user within ±10 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH sides, so
+    * each side's buffered state is evictable — the only join shape that
+    * runs unbounded-input-safe. */
+  def streamStreamJoin(a: DataFrame, b: DataFrame,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val left = a.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_type").as("a_type"))
+    val right = b.withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_type").as("b_type"))
+    left.join(right,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") - expr("interval 10 minutes") &&
+        col("b_ts") <= col("a_ts") + expr("interval 10 minutes"))
+      .select(col("user_id"), col("a_ts"), col("a_type"), col("b_ts"), col("b_type"))
+  }
 }

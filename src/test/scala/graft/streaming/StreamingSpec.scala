@@ -128,4 +128,49 @@ class StreamingSpec extends SparkTestBase {
       assert(byUser == Map(1L -> 2, 2L -> 1))
     } finally q.stop()
   }
+
+  test("streaming dedup drops repeats of (user, type) within the watermark horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.dedupWithinWatermark(df)
+      .writeStream.format("memory").queryName("streamdedup").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "click", 2.0), // dup key
+        (Timestamp.valueOf("2024-01-01 10:02:00"), 1L, "view", 3.0),
+        (Timestamp.valueOf("2024-01-01 10:03:00"), 2L, "click", 4.0))
+      q.processAllAvailable()
+      val keys = spark.table("streamdedup")
+        .selectExpr("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(keys.length == 3)
+      assert(keys.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
+  test("stream-stream join buffers both sides and joins within the time band") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String, Double)]
+    val views = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventStream.streamStreamJoin(
+        clicks.toDF().toDF("ts", "user_id", "event_type", "value"),
+        views.toDF().toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ssjoin").outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0))
+      views.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "view", 0.0),  // in band
+        (Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "view", 0.0),  // out of band
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "view", 0.0))  // other user
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .selectExpr("user_id", "b_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString))
+      assert(rows.toSet == Set((1L, "2024-01-01 10:05:00.0")))
+    } finally q.stop()
+  }
 }
