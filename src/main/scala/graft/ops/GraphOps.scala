@@ -29,8 +29,9 @@ object GraphOps {
     * the 2-/3-hop tables are only ~3× the input edges.)
     */
   def descendantsWithDepth(spark: SparkSession, edgesIn: DataFrame, roots: DataFrame): DataFrame = {
-    // materialize the edge table once: every round re-reads it, and
-    // without this each round would re-run the source scan
+    import scala.jdk.CollectionConverters._
+    // materialize the hop tables once: every round re-reads them, and
+    // without this each round would re-run the source scan + self-joins
     val edges1 = edgesIn.select(col("child"), col("parent"), lit(1L).as("hop"))
     val e2a = edgesIn.select(col("child").as("mid"), col("parent"))
     val e2b = edgesIn.select(col("child"), col("parent").as("mid"))
@@ -39,26 +40,49 @@ object GraphOps {
       .join(e2a, "mid").select(col("child"), col("parent"), lit(3L).as("hop"))
     val edges = edges1.union(edges2).union(edges3).localCheckpoint()
 
-    var visited  = roots.select(col("node"), lit(0L).as("depth")).localCheckpoint()
-    var frontier = visited
-    while (!frontier.isEmpty) {
-      // localCheckpoint EVERY round: the frontier feeds both the next round
-      // and the visited union, so an unmaterialized plan doubles per round
-      // (exponential Catalyst analysis cost); checkpointing keeps it flat.
-      // the frontier is small relative to the edge table: broadcast it so
-      // the edges never shuffle
-      val next = edges
-        .join(broadcast(frontier), edges("parent") === frontier("node"))
-        .select(edges("child").as("node"), (frontier("depth") + edges("hop")).as("depth"))
-        .groupBy(col("node")).agg(min(col("depth")).as("depth"))
-        // visited can reach full-graph size: no broadcast hint — let
-        // Catalyst/AQE pick broadcast vs shuffle from its observed size
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
-      visited = visited.union(next)
-      frontier = next
+    // Frontier and visited set live on the DRIVER as local relations.
+    // This is not a scale concession: the frontier was already broadcast
+    // (i.e. required to fit in memory on every executor), and visited is
+    // bounded by the reachable-node count — job-graph metadata, not data.
+    // Driver-residency removes the per-round checkpoint + isEmpty cluster
+    // jobs and lets the broadcast build from a LocalRelation without a
+    // job, leaving exactly ONE distributed action per round (the hop-join
+    // against the full edge table, which is the part that scales).
+    // For closures whose reachable set outgrows driver memory, revert to
+    // the all-DataFrame variant (git history) — same round structure.
+    val nodeType = roots.schema("node").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("depth", org.apache.spark.sql.types.LongType)))
+    val visited = scala.collection.mutable.LinkedHashMap[Any, Long]()
+    roots.select(col("node")).collect().foreach(r => visited(r.get(0)) = 0L)
+    var frontier: Seq[org.apache.spark.sql.Row] =
+      visited.keysIterator.map(n => org.apache.spark.sql.Row(n, 0L)).toSeq
+    while (frontier.nonEmpty) {
+      val fDF = spark.createDataFrame(frontier.asJava, outSchema)
+      // one shuffle-FREE stage per round: broadcast-join the frontier into
+      // the hop tables and collect the raw (child, candidate-depth) pairs;
+      // the min-by-node and visited-filter fold on the driver (candidate
+      // count is O(hops × frontier out-degree) — bounded by the same
+      // memory budget the broadcast frontier already set)
+      val candidates = edges
+        .join(broadcast(fDF), edges("parent") === fDF("node"))
+        .select(edges("child").as("node"), (fDF("depth") + edges("hop")).as("depth"))
+        .collect()
+      val mins = scala.collection.mutable.HashMap[Any, Long]()
+      candidates.foreach { r =>
+        val n = r.get(0)
+        if (!visited.contains(n)) {
+          val d = r.getLong(1)
+          if (d < mins.getOrElse(n, Long.MaxValue)) mins(n) = d
+        }
+      }
+      mins.foreach { case (n, d) => visited(n) = d }
+      frontier = mins.iterator.map { case (n, d) => org.apache.spark.sql.Row(n, d) }.toSeq
     }
-    visited
+    spark.createDataFrame(
+      visited.iterator.map { case (n, d) => org.apache.spark.sql.Row(n, d) }.toSeq.asJava,
+      outSchema)
   }
 
   /** Transitive closure demo on real data: the implicit binary tree
