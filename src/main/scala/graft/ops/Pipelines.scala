@@ -73,17 +73,26 @@ object Pipelines {
       // min/max set sizes >= 0.6 → 3·max <= 5·min. Evaluating this integer
       // predicate inside the join prunes the vast majority of pairs before
       // any O(n) array intersection runs — results are provably unchanged.
+      // the join's only equi-key is lang (5 distinct values) — unsalted,
+      // the quadratic pair scan lands on 5 tasks no matter how many cores
+      // exist. Salting the probe side and replicating the build side x8
+      // spreads the SAME pairs over 40 keys; results are identical
+      // (Joins.saltedJoin pattern, inlined because of the extra join
+      // predicates).
+      val S = 8
       val a = exact.select(col("lang").as("langa"), col("doc_id").as("ia"),
                            col("tkd").as("ta"), size(col("tkd")).as("sa"))
+        .withColumn("sala", pmod(xxhash64(col("ia")), lit(S)).cast("int"))
       val b = exact.select(col("lang").as("langb"), col("doc_id").as("ib"),
                            col("tkd").as("tb"), size(col("tkd")).as("sb"))
+        .withColumn("salb", explode(sequence(lit(0), lit(S - 1))))
       // all predicates live in the join condition, cheapest leftmost: the
       // And-tree evaluates left-to-right, so id/size guards short-circuit
       // before the O(n) array intersection touches a pair (a post-join
       // .filter gets merged in FRONT of the cheap guards by
       // PushExtraPredicateThroughJoin — observed 2x slower).
       val nearDupIds = a.join(b,
-          col("langa") === col("langb") &&
+          col("langa") === col("langb") && col("sala") === col("salb") &&
             col("ia") < col("ib") &&
             col("sa") * 3 <= col("sb") * 5 && col("sb") * 3 <= col("sa") * 5 &&
             // |A∪B| = sa + sb − |A∩B|, so jac ≥ 0.6 ⟺ 8·|A∩B| ≥ 3·(sa+sb):

@@ -120,9 +120,15 @@ object Similarity {
     "q55_embedding_dedup",
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
+      // the streamed side of the O(n²) scan must span the worker pool: the
+      // single-file test table arrives as ONE partition, which would put
+      // the whole quadratic compute on one core. The repartition moves
+      // |corpus| rows once — noise against the |corpus|² work it unlocks,
+      // at any scale where the exact pair scan is viable at all.
       val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
-      a.crossJoin(b).filter(col("ia") < col("ib"))
+      a.crossJoin(broadcast(b)).filter(col("ia") < col("ib"))
         .withColumn("cos", cosine(col("ea"), col("eb")))
         .filter(col("cos") > 0.4)
         .groupBy(col("ib").as("dup_id"))
