@@ -11,7 +11,7 @@ object SparkEntry {
     Relational.all ++ EventOps.all ++ GraphOps.all ++ TextOps.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ SchedulerQueries.all ++
       Analytics.all ++ Joins.all ++ Reshape.all ++ Subqueries.all ++
-      Pipelines.all ++ CorpusOps.all
+      Pipelines.all ++ CorpusOps.all ++ ReportingOps.all
 
   /** Flagship: a full engine pass on sf0.001 — build a 3-stage job graph
     * (ingest → enrich → report), schedule it through the store's FSM
