@@ -81,7 +81,10 @@ object Dedup {
       // shingles come from the ORIGINAL token sequence — never a deduped
       // array: array_distinct/list_distinct ordering is engine-specific,
       // and shingles are adjacency-dependent
+      // single-row-group scan → repartition before the CPU-heavy shingle
+      // hashing + signature work so it spans the pool (see q57)
       val docs = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
       // 3-token shingles hashed DIRECTLY to int64 — xxhash64(t1,t2,t3)

@@ -47,6 +47,10 @@ object Pipelines {
   val q57CorpusPipeline: QueryDef = QueryDef(
     "q57_corpus_pipeline",
     (s, dir) => {
+      // (measured: an up-front repartition of the doc scan HURTS here —
+      // the exact-dedup subtree is consumed by both sides of the pair
+      // join, so the extra exchange is paid twice while the salted join
+      // already spreads the expensive stage)
       val base = Tables(s, dir).documents
         .withColumn("tk", TextOps.tokens(col("text")))
         .filter(size(col("tk")) >= 10)
