@@ -47,11 +47,11 @@ object Pipelines {
   val q57CorpusPipeline: QueryDef = QueryDef(
     "q57_corpus_pipeline",
     (s, dir) => {
-      // (measured: an up-front repartition of the doc scan HURTS here —
-      // the exact-dedup subtree is consumed by both sides of the pair
-      // join, so the extra exchange is paid twice while the salted join
-      // already spreads the expensive stage)
+      // single-row-group scan → spread the CPU-heavy tokenize/gate/hash
+      // work across the pool; the exchange is paid ONCE because `exact`
+      // below is checkpointed before its three consumers
       val base = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("tk", TextOps.tokens(col("text")))
         .filter(size(col("tk")) >= 10)
         .withColumn("stop_ratio",
@@ -73,6 +73,10 @@ object Pipelines {
         .select(col("doc_id"), col("lang"),
                 array_sort(array_distinct(transform(col("tk"), t => xxhash64(t)))).as("tkd"),
                 size(col("tk")).cast("long").as("n_tokens"))
+        // three consumers read `exact` (both pair-join sides + the final
+        // aggregate): checkpoint so the tokenize→gate→dedup→hash lineage
+        // runs once, not three times
+        .localCheckpoint()
       // exact length prefilter: jac >= 0.6 forces |A∩B|/|A∪B| >= 0.6, hence
       // min/max set sizes >= 0.6 → 3·max <= 5·min. Evaluating this integer
       // predicate inside the join prunes the vast majority of pairs before
