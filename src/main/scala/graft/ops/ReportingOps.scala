@@ -73,5 +73,81 @@ object ReportingOps {
         COUNT(*) AS n_days
       FROM anchored GROUP BY user_id, anchor"""))
 
-  val all: Seq[QueryDef] = Seq(q64StringAgg, q65Unpivot, q66ActivityIslands)
+  /** Time-based window frame: 7-day rolling order revenue via RANGE
+    * BETWEEN on a day number — the frame is defined by VALUE distance
+    * (days), not row count, so gaps in the calendar shrink the window
+    * rather than reaching further back.
+    *
+    * Scale note: the window is global (one ordered partition), fine here
+    * because it runs over the DAILY aggregate — one row per calendar day,
+    * thousands of rows regardless of fact-table size. Never put an
+    * unpartitioned window over raw facts; aggregate to the window's time
+    * grain first (as here) or partition by a coarser period and stitch
+    * the 6-day boundary overlap. */
+  val q67RollingRevenue: QueryDef = QueryDef(
+    "q67_rolling_revenue",
+    (s, dir) => {
+      val daily = Tables(s, dir).orders
+        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("day_num"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev_dec"))
+      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily
+        .withColumn("rolling_7d", sum(col("rev_dec")).over(w).cast("double"))
+        .select(col("day_num").cast("long").as("day_num"),
+                col("rev_dec").cast("double").as("revenue"), col("rolling_7d"))
+    },
+    Some("""WITH daily AS (SELECT
+          CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+          SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+        FROM orders GROUP BY 1)
+      SELECT day_num, CAST(rev_dec AS DOUBLE) AS revenue,
+        CAST(SUM(rev_dec) OVER (ORDER BY day_num
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+      FROM daily"""))
+
+  /** Conditional aggregation (FILTER clause shape): one pass computing
+    * differently-filtered aggregates side by side — the idiom that
+    * replaces N self-joins in reporting queries. */
+  val q68ConditionalAgg: QueryDef = QueryDef(
+    "q68_conditional_agg",
+    (s, dir) => Tables(s, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_large"),
+        sum(when(col("o_orderstatus") === "F",
+          col("o_totalprice").cast(DecimalType(18, 4))).otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast("double").as("finished_value")),
+    Some("""SELECT o_orderpriority,
+        COUNT(*) AS n_total,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F'
+          THEN CAST(o_totalprice AS DECIMAL(18,4))
+          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS finished_value
+      FROM orders GROUP BY 1"""))
+
+  /** The full ranking family in one window: rank (gapped), dense_rank
+    * (gapless), ntile quartile — over supplier balances per nation. */
+  val q69RankFamily: QueryDef = QueryDef(
+    "q69_rank_family",
+    (s, dir) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      Tables(s, dir).supplier
+        .select(col("s_nationkey").as("nationkey"), col("s_suppkey").as("suppkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    },
+    Some("""SELECT s_nationkey AS nationkey, s_suppkey AS suppkey,
+        CAST(RANK() OVER w AS BIGINT) AS rnk,
+        CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+      FROM supplier
+      WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)"""))
+
+  val all: Seq[QueryDef] = Seq(q64StringAgg, q65Unpivot, q66ActivityIslands,
+    q67RollingRevenue, q68ConditionalAgg, q69RankFamily)
 }

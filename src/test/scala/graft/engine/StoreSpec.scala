@@ -54,7 +54,10 @@ trait JobStoreBehaviors { this: AnyFunSuite =>
         })
       }
       start.countDown()
-      pool.shutdown(); pool.awaitTermination(5, TimeUnit.SECONDS)
+      pool.shutdown()
+      // generous bound: this suite runs in parallel with Spark suites that
+      // saturate all cores, and a starved pool must not look like a bug
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS), "racer pool starved")
       assert(wins.get() == 1)
       assert(s.jobInfo(id).get.status == JobStatus.Started)
       assert(s.jobInfo(id).get.heartbeat.isDefined)

@@ -47,4 +47,33 @@ class ReportingOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("rolling 7-day frame only ever includes days within value distance 6") {
+    val rows = ReportingOps.q67RollingRevenue.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("day_num"), r.getAs[Double]("revenue"), r.getAs[Double]("rolling_7d")))
+      .sortBy(_._1)
+    val byDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (d, _, roll) =>
+      val expect = (d - 6 to d).flatMap(byDay.get).sum
+      assert(math.abs(roll - expect) < 1e-6, s"day $d: $roll vs $expect")
+    }
+  }
+
+  test("conditional aggregates are consistent subsets of the total") {
+    ReportingOps.q68ConditionalAgg.fn(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_finished") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("n_large") <= r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("rank family: rank has gaps after ties where dense_rank does not, quartiles are 1..4") {
+    val rows = ReportingOps.q69RankFamily.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("quartile")).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    rows.groupBy(_.getAs[Number]("nationkey").longValue).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted
+      val dense = rs.map(_.getAs[Long]("drnk")).sorted
+      assert(ranks.max >= dense.max)            // gapped >= gapless
+      assert(dense.distinct.length == dense.max) // dense_rank is contiguous
+    }
+  }
 }
