@@ -28,10 +28,17 @@ object Relational {
         .agg(
           sum(col("l_quantity").cast(M)).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast(M)).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(P))
-            .cast("double").as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(P))
-            .cast("double").as("sum_charge"),
+          // the 8-scale decimal sums cross 2^53 × 1e-8 around 1e8, where
+          // DuckDB's int128→double and the JVM's BigDecimal→double round
+          // differently by 1 ulp. Reduce to scale 4 via FLOOR in exact
+          // decimal space — floor is tie-free (cast-to-decimal rounding
+          // breaks .xxxx5000 ties differently across engines) — then the
+          // scaled integer stays < 2^53 (exact double conversion both
+          // sides) up to ~9e11, sf ≈ 30.
+          (floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(P)) * 10000)
+            .cast("double") / 1e4).as("sum_disc_price"),
+          (floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(P)) * 10000)
+            .cast("double") / 1e4).as("sum_charge"),
           (sum(col("l_quantity").cast(M)).cast("double") / count(lit(1))).as("avg_qty"),
           (sum(col("l_extendedprice").cast(M)).cast("double") / count(lit(1))).as("avg_price"),
           (sum(col("l_discount").cast(M)).cast("double") / count(lit(1))).as("avg_disc"),
@@ -40,8 +47,8 @@ object Relational {
     Some("""SELECT l_returnflag, l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(22,8))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(22,8))) AS DOUBLE) AS sum_charge,
+      CAST(FLOOR(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(22,8)))*10000) AS DOUBLE)/10000 AS sum_disc_price,
+      CAST(FLOOR(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(22,8)))*10000) AS DOUBLE)/10000 AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_price,
       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_disc,
