@@ -148,6 +148,55 @@ object ReportingOps {
       FROM supplier
       WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)"""))
 
+  /** Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+    * duplicate cardinality, unlike their distinct counterparts in
+    * q10_set_ops. Over per-order priority rows so duplicates are real. */
+  val q70MultisetOps: QueryDef = QueryDef(
+    "q70_multiset_ops",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_orderpriority").as("prio"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority").as("prio"))
+      a.intersectAll(b).groupBy(col("prio")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+        .union(a.exceptAll(b).groupBy(col("prio")).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all")))
+        .select(col("op"), col("prio"), col("n"))
+    },
+    Some("""WITH a AS (SELECT o_orderpriority AS prio FROM orders WHERE o_totalprice > 150000),
+      b AS (SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F'),
+      ia AS (SELECT prio FROM a INTERSECT ALL SELECT prio FROM b),
+      ea AS (SELECT prio FROM a EXCEPT ALL SELECT prio FROM b)
+      SELECT 'intersect_all' AS op, prio, COUNT(*) AS n FROM ia GROUP BY 2
+      UNION ALL
+      SELECT 'except_all' AS op, prio, COUNT(*) AS n FROM ea GROUP BY 2"""))
+
+  /** Global multi-key sort with EXPLICIT null ordering. Spark defaults to
+    * NULLS FIRST ascending, DuckDB to NULLS LAST — cross-engine-correct
+    * SQL must always spell null placement out, which this query
+    * demonstrates (nulls come from the left join's misses). */
+  val q71SortedNulls: QueryDef = QueryDef(
+    "q71_sorted_nulls",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.orders.filter(col("o_totalprice") > 450000)
+        .groupBy(col("o_custkey")).agg(max(col("o_totalprice")).as("best_order"))
+      t.customer.filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), col("c_nationkey").as("nationkey"))
+        .join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("nationkey"), col("best_order"))
+        .orderBy(col("best_order").desc_nulls_last, col("c_custkey").asc)
+        .limit(100)
+    },
+    Some("""SELECT c_custkey, c_nationkey AS nationkey, best_order
+      FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey < 200) c
+      LEFT JOIN (SELECT o_custkey, MAX(o_totalprice) AS best_order
+                 FROM orders WHERE o_totalprice > 450000 GROUP BY 1) o
+        ON c_custkey = o_custkey
+      ORDER BY best_order DESC NULLS LAST, c_custkey ASC
+      LIMIT 100"""))
+
   val all: Seq[QueryDef] = Seq(q64StringAgg, q65Unpivot, q66ActivityIslands,
-    q67RollingRevenue, q68ConditionalAgg, q69RankFamily)
+    q67RollingRevenue, q68ConditionalAgg, q69RankFamily, q70MultisetOps,
+    q71SortedNulls)
 }

@@ -76,4 +76,14 @@ class JoinsSpec extends SparkTestBase {
     assert(mm.nonEmpty)
     mm.foreach(r => assert(r.getDouble(3) >= r.getDouble(4))) // max_bal >= min_bal
   }
+
+  test("corpus pipeline's pair join keeps the codegen merge-count and salted keys in its plan") {
+    val df = Pipelines.q57CorpusPipeline.fn(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // guards against silent regression to interpreted array_intersect or
+    // an unsalted 5-key join
+    assert(plan.toLowerCase.contains("sortedintersectcount"), plan.take(2000))
+    assert(plan.contains("sala") && plan.contains("salb"), plan.take(2000))
+  }
 }
