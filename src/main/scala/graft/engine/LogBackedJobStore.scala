@@ -109,7 +109,31 @@ final class LogBackedJobStore(dir: String) extends JobStore {
     val existed = Files.exists(logPath)
     if (existed) {
       inner.install()
-      Files.readAllLines(logPath).asScala.filter(_.nonEmpty).foreach(replay)
+      val lines = Files.readAllLines(logPath).asScala.filter(_.nonEmpty).toSeq
+      var torn = false
+      lines.zipWithIndex.foreach { case (line, i) =>
+        if (!torn) {
+          try replay(line)
+          catch {
+            // a malformed FINAL line is a torn append from a crash — drop
+            // it and truncate, so the reopened writer does not continue
+            // writing onto the partial record. Malformed lines anywhere
+            // else are real corruption and must fail loudly.
+            case e: Exception if i == lines.size - 1 =>
+              System.err.println(
+                s"[logstore] dropping torn final log line (${e.getClass.getSimpleName})")
+              torn = true
+            case e: Exception =>
+              throw new IllegalStateException(s"corrupt log line ${i + 1}: ${e.getMessage}", e)
+          }
+        }
+      }
+      if (torn) {
+        val good = lines.dropRight(1)
+        Files.write(logPath,
+          (if (good.isEmpty) "" else good.mkString("", "\n", "\n"))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     } else {
       inner.install()
       Files.createFile(logPath)

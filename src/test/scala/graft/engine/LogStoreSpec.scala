@@ -44,6 +44,46 @@ class LogStoreSpec extends AnyFunSuite with JobStoreBehaviors {
     s2.close()
   }
 
+  test("a torn final log line (crash mid-append) is dropped and the store recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("logstore-torn").toString
+    val s1 = new LogBackedJobStore(dir); s1.install()
+    val g = JobGraph.jobGraph(Map("b" -> Seq("a")))
+    s1.transactGraph(g)
+    val id = g.jobs.map(j => j.jobType -> j.id).toMap
+    s1.reserveJob(id("a")); s1.finishJob(id("a"))
+    s1.close()
+    // simulate a crash mid-append: a partial record without newline
+    val log = java.nio.file.Paths.get(dir, "joblog.jsonl")
+    java.nio.file.Files.write(log, "{\"op\":\"res".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+
+    val s2 = new LogBackedJobStore(dir); s2.install()
+    // state reflects every complete record; the torn one is gone
+    assert(s2.jobInfo(id("a")).get.status == JobStatus.Finished)
+    assert(s2.jobsReady() == Set(id("b")))
+    // and appending keeps working on a clean line boundary
+    s2.reserveJob(id("b")); s2.finishJob(id("b"))
+    s2.close()
+    val s3 = new LogBackedJobStore(dir); s3.install()
+    assert(s3.snapshotJobs.forall(_.status == JobStatus.Finished))
+    s3.close()
+  }
+
+  test("a corrupt line in the MIDDLE of the log fails loudly (not silent data loss)") {
+    val dir = java.nio.file.Files.createTempDirectory("logstore-corrupt").toString
+    val s1 = new LogBackedJobStore(dir); s1.install()
+    val g = JobGraph.jobGraph(Map("x" -> Seq.empty))
+    s1.transactGraph(g)
+    s1.reserveJob(g.jobs.head.id)
+    s1.close()
+    val log = java.nio.file.Paths.get(dir, "joblog.jsonl")
+    val lines = java.nio.file.Files.readAllLines(log)
+    lines.add(1, "{\"op\":\"garbage\"}")
+    java.nio.file.Files.write(log, lines)
+    val s2 = new LogBackedJobStore(dir)
+    intercept[IllegalStateException](s2.install())
+  }
+
   test("a worker crash mid-run resumes from the log (idempotent handlers)") {
     val dir = java.nio.file.Files.createTempDirectory("logstore-crash").toString
     val s1 = new LogBackedJobStore(dir); s1.install()
