@@ -50,6 +50,18 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Idempotent micro-batch sink: every batch overwrites a deterministic
+    * batchId-keyed path, so a replayed batch (failure → retry) lands
+    * byte-identical — the streaming form of the reference's
+    * idempotent-handler contract (doc/guide/BasicGraphsHandlers.md
+    * "Important!"). */
+  def writeBatches(df: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+
   /** Stream-stream inner join: click-like events joined to view-like
     * events for the same user within ±10 minutes. Both sides carry
     * watermarks and the join condition bounds event time on BOTH sides, so

@@ -151,6 +151,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink writes idempotent batch-keyed parquet") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val out = java.nio.file.Files.createTempDirectory("fbsink").toString
+    val agg = EventStream.tumblingHourly(
+      input.toDF().toDF("ts", "user_id", "event_type", "value"))
+    val q = EventStream.writeBatches(agg, out)
+      .option("checkpointLocation", s"$out/ckpt").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:30:00"), 2L, "click", 2.0))
+      q.processAllAvailable()
+      val dirs = new java.io.File(out).listFiles.filter(_.getName.startsWith("batch_"))
+      assert(dirs.nonEmpty)
+      val batches = dirs.map(d => spark.read.parquet(d.toString))
+      // batch outputs are deterministic and re-readable; the union holds
+      // the aggregate rows seen so far
+      val n = batches.map(_.count()).sum
+      assert(n >= 1)
+    } finally q.stop()
+  }
+
   test("stream-stream join buffers both sides and joins within the time band") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
