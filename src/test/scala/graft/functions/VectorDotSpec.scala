@@ -108,4 +108,44 @@ class VectorDotSpec extends SparkTestBase {
         size(array_intersect(col("a"), col("b"))).as("ref"))
     assert(df.filter(col("native") =!= col("ref")).count() == 0)
   }
+
+  test("property: sorted_intersect_count interpreted eval == set intersection, any inputs") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val genArr = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .map(_.distinct.sorted)
+    val prop = forAll(genArr, genArr) { (a, b) =>
+      val expr = SortedIntersectCount(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+      expr.eval(null) == a.toSet.intersect(b.toSet).size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: minhash_sig minima never increase as shingles are appended") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val k = 8
+    def sig(hs: Seq[Long]): Seq[Long] = {
+      val e = MinhashSig(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(hs,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)), k)
+      e.eval(null).asInstanceOf[GenericArrayData].toLongArray().toSeq
+    }
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val prop = forAll(gen, gen) { (a, b) =>
+      val sa = sig(a)
+      val sab = sig(a ++ b)
+      // appending inputs can only lower each minimum — and the signature
+      // of a multiset is permutation-invariant
+      sa.zip(sab).forall { case (x, y) => y <= x } && sig(a.reverse) == sa
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
