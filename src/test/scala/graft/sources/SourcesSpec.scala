@@ -54,4 +54,28 @@ class SourcesSpec extends SparkTestBase {
     assert(backCsv.count() == df.count() && backJson.count() == df.count())
     assert(backJson.select("r_name").except(df.select("r_name")).isEmpty)
   }
+
+  test("real JDBC roundtrip: jobs snapshot to an embedded Derby table and back") {
+    import spark.implicits._
+    // the reference's store IS a JDBC database (overseer_jobs); Derby is
+    // the JDBC engine that ships with Spark, so the source/sink path gets
+    // exercised end-to-end, not just at the API level
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val jobs = Seq(
+      ("j1", "ingest", 0, 1700000000L),
+      ("j2", "enrich", 1, 1700000060L),
+      ("j3", "report", 2, 1700000120L)
+    ).toDF("id", "job_type", "status", "heartbeat")
+    Sources.jdbcWrite(jobs, url, "overseer_jobs")
+    val back = Sources.jdbc(spark, url, "overseer_jobs")
+    assert(back.count() == 3)
+    assert(back.schema.fieldNames.map(_.toLowerCase).toSet ==
+      Set("id", "job_type", "status", "heartbeat"))
+    // predicate pushdown reaches the JDBC source: the filter appears in
+    // the scan's pushed-filter list rather than a post-scan Filter-only plan
+    val started = Sources.jdbc(spark, url, "overseer_jobs").filter(col("status") === 1)
+    assert(started.count() == 1)
+    val scanDesc = started.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PushedFilters") && scanDesc.contains("status"), scanDesc.take(800))
+  }
 }
