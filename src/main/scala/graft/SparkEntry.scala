@@ -13,10 +13,12 @@ object SparkEntry {
       Analytics.all ++ Joins.all ++ Reshape.all ++ Subqueries.all ++
       Pipelines.all ++ CorpusOps.all ++ ReportingOps.all
 
-  /** Flagship: a full engine pass on sf0.001 — build a 3-stage job graph
-    * (ingest → enrich → report), schedule it through the store's FSM
-    * (reserve → run → finish via the readiness anti-join), where the report
-    * handler runs the revenue-by-nation analytic query. Driver smoke-checks
+  /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
+    * (ingest → {enrich, corpus} → report), schedule it through the
+    * store's FSM (reserve → run → finish via the readiness anti-join).
+    * The enrich branch is the analytic path (joins + decimal agg); the
+    * corpus branch runs the training-data path (exact dedup over the
+    * documents table); report consumes enrich. Driver smoke-checks
     * rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir   = "/root/testdata/sf0.001"
@@ -24,10 +26,12 @@ object SparkEntry {
     store.install()
     store.transactGraph(JobGraph.jobGraph(Map(
       "enrich" -> Seq("ingest"),
-      "report" -> Seq("enrich"))))
+      "corpus" -> Seq("ingest"),
+      "report" -> Seq("enrich", "corpus"))))
 
     import org.apache.spark.sql.functions._
     var enriched: Option[DataFrame] = None
+    var corpusKept: Long            = -1L
     var report: Option[DataFrame]   = None
     val t = Tables(spark, dir)
     val handlers = Map(
@@ -38,6 +42,10 @@ object SparkEntry {
             .join(t.orders, col("l_orderkey") === col("o_orderkey"))
             .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
             .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey")))
+      },
+      "corpus" -> Handler { _ =>
+        // the training-data branch: exact dedup keepers over documents
+        corpusKept = ops.Dedup.q26ExactDedup.fn(spark, dir).count()
       },
       "report" -> Handler { _ =>
         // consumes the enrich stage's output — data flows along the DAG
@@ -52,6 +60,7 @@ object SparkEntry {
     new Worker(store, handlers, WorkerConfig(seed = Some(42L))).runUntilIdle()
     require(store.snapshotJobs.forall(_.status == JobStatus.Finished),
       s"pipeline did not finish: ${store.snapshotJobs}")
+    require(corpusKept > 0, "corpus branch produced no keepers")
     report.get
   }
 

@@ -196,7 +196,37 @@ object ReportingOps {
       ORDER BY best_order DESC NULLS LAST, c_custkey ASC
       LIMIT 100"""))
 
+  /** Schema-evolution union: two sources with different column subsets
+    * unioned BY NAME with missing columns null-filled — the data-lake
+    * append pattern when a feed gains a column (positional UNION would
+    * silently misalign). */
+  val q72UnionByName: QueryDef = QueryDef(
+    "q72_union_by_name",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val v1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             count(col("o_totalprice")).as("n_with_price"),
+             sum(coalesce(col("o_totalprice"), lit(0.0)).cast(DecimalType(18, 4)))
+               .cast("double").as("total"))
+    },
+    Some("""WITH u AS (
+        SELECT o_orderkey, o_orderpriority, NULL::DOUBLE AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT o_orderpriority, COUNT(*) AS n,
+        COUNT(o_totalprice) AS n_with_price,
+        CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM u GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q64StringAgg, q65Unpivot, q66ActivityIslands,
     q67RollingRevenue, q68ConditionalAgg, q69RankFamily, q70MultisetOps,
-    q71SortedNulls)
+    q71SortedNulls, q72UnionByName)
 }
