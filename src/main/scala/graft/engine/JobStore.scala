@@ -54,6 +54,14 @@ trait JobStore {
   /** Ids started with heartbeat < threshold (core.clj:149-152). */
   def jobsDead(threshold: Long, limit: Int = Int.MaxValue): Set[String]
 
+  /** All ids currently in `status` — the modern equivalent of the
+    * reference's pre-0.9 Monitoring.md status queries (SURVEY.md §7
+    * "doc drift"): the docs describe `overseer.status` helpers whose
+    * implementation no longer exists in 0.9; this is the Store-protocol
+    * form. */
+  def jobsWithStatus(status: String): Set[String] =
+    snapshotJobs.filter(_.status == status).map(_.id).toSet
+
   /** Optimistic-locking conditional update: re-reads the row, applies `f`
     * only if `pred` holds AND the lock version is unchanged since read;
     * bumps lockVersion + updatedAt. None unless exactly one row updated.

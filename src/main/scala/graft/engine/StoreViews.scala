@@ -49,6 +49,12 @@ object StoreViews {
   def jobsDead(jobs: DataFrame, threshold: Long): DataFrame =
     jobs.filter(col("status") === JobStatus.Started && col("heartbeat") < lit(threshold))
 
+  /** Status dashboard view — per-status id sets as a DataFrame (the
+    * Monitoring.md equivalent at the relational layer): one hash
+    * aggregate, no join. */
+  def statusCounts(jobs: DataFrame): DataFrame =
+    jobs.groupBy(col("status")).agg(count(lit(1)).as("n"))
+
   /** §2D row 3 — direct dependents: distinct semi-join projection. */
   def directDependents(deps: DataFrame, frontier: DataFrame): DataFrame =
     deps.join(frontier, deps("depId") === frontier("id"), "left_semi")

@@ -136,6 +136,19 @@ trait JobStoreBehaviors { this: AnyFunSuite =>
       assert(j.args.contains("a") && j.lockVersion == v0 + 1)
     }
 
+    test("jobsWithStatus partitions the job set by FSM state (Monitoring.md equivalent)") {
+      val s = freshStore()
+      val g = JobGraph.jobGraph(Map("b" -> Seq("a"), "c" -> Seq.empty))
+      s.transactGraph(g)
+      val id = g.jobs.map(j => j.jobType -> j.id).toMap
+      s.reserveJob(id("a")); s.finishJob(id("a"))
+      s.reserveJob(id("c"))
+      assert(s.jobsWithStatus(JobStatus.Finished) == Set(id("a")))
+      assert(s.jobsWithStatus(JobStatus.Started) == Set(id("c")))
+      assert(s.jobsWithStatus(JobStatus.Unstarted) == Set(id("b")))
+      assert(s.jobsWithStatus(JobStatus.Failed).isEmpty)
+    }
+
     test("install returns :ok once (core.clj:108-110)") {
       val s = freshStore()
       // freshStore() may or may not pre-install; a fresh InMemory store does not
