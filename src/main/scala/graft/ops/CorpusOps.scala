@@ -172,6 +172,37 @@ object CorpusOps {
         FROM orders GROUP BY 1)
       SELECT bucket_lo, n, round(n * 100.0 / SUM(n) OVER (), 6) AS pct FROM h"""))
 
+  /** Forward-fill imputation: per-user event values below a threshold are
+    * treated as missing and repaired with the most recent valid value
+    * (`last(..., ignoreNulls)` over an ordered running frame) — the
+    * standard gap-repair pass before feature extraction. Missingness is
+    * derived deterministically so the oracle can reproduce it. */
+  val q73ForwardFill: QueryDef = QueryDef(
+    "q73_forward_fill",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      EventOps.events(s, dir)
+        .withColumn("v", when(col("value") >= 1.0, col("value")))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(col("v")).as("n_valid"),
+             count(col("v_filled")).as("n_after_fill"),
+             count(lit(1)).as("n_events"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, ts,
+          CASE WHEN value >= 1.0 THEN value END AS v
+        FROM events),
+      f AS (SELECT user_id, v,
+          LAST_VALUE(v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM e)
+      SELECT user_id, COUNT(v) AS n_valid, COUNT(v_filled) AS n_after_fill,
+        COUNT(*) AS n_events
+      FROM f GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q58DocChunking, q59DateSpine, q60BigramTopk,
-    q61EventCompaction, q62CentroidAssign, q63PriceHistogram)
+    q61EventCompaction, q62CentroidAssign, q63PriceHistogram, q73ForwardFill)
 }
