@@ -252,6 +252,77 @@ case class MinhashSig(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
 }
 
+/** SimHash signature over pre-hashed tokens (array<long>) as ONE codegen'd
+  * expression: bit b of the result = sign of Σ over tokens of
+  * (bit b of hash ? +1 : −1). The equivalent
+  * `aggregate(sequence(0,63), … aggregate(toks, …))` HOF nesting runs
+  * interpreted with 64 × |tokens| boxed lambda evaluations per row; this
+  * is a single primitive loop (|tokens| × 64 bit ops on a stack array).
+  * Token hashes are the caller's choice — q29 derives them from md5 so the
+  * DuckDB oracle can replicate the signature bit-for-bit. */
+case class SimhashSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_sig requires array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L) * 2L - 1L
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $counts = new long[64];
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counts[$b] += ((($h >>> $b) & 1L) * 2L) - 1L;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimhashSig = copy(child = c)
+}
+
 object VectorFunctions {
   /** Column-level API for [[VectorDot]]. */
   def vector_dot(a: Column, b: Column): Column =
@@ -263,11 +334,20 @@ object VectorFunctions {
   def vector_cosine(a: Column, b: Column): Column =
     vector_dot(a, b) / (vector_norm(a) * vector_norm(b))
 
-  /** Deterministic pseudo-random hyperplanes (seeded LCG — stable across
-    * JVMs and runs), centered on 0 so sign bits split the space evenly. */
-  def lshPlanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(nBits, dim)(rnd.nextDouble() * 2.0 - 1.0)
+  /** Deterministic pseudo-random hyperplanes derived from md5 — a hash BOTH
+    * engines implement, so a DuckDB oracle can rebuild the identical plane
+    * matrix in SQL and hash-match LSH signatures end-to-end:
+    * plane(b)(d) = int(first 12 hex chars of md5("b_d")) / 2^47 − 1.
+    * 48 bits / 2^47 is an exact dyadic rational → the double is identical
+    * across engines; values are uniform in [−1, 2^−47 + 1) ≈ [−1, 1). */
+  def lshPlanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits, dim) { (b, d) =>
+      md.reset()
+      val hex = md.digest(s"${b}_${d}".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) / 140737488355328.0 - 1.0
+    }
   }
 
   def vector_lsh_bits(v: Column, planes: Array[Array[Double]]): Column =
@@ -276,6 +356,20 @@ object VectorFunctions {
   /** Column-level API for [[MinhashSig]]. */
   def minhash_sig(hashedShingles: Column, k: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashedShingles), k))
+
+  /** Column-level API for [[SimhashSig]] — input is array<bigint> token
+    * hashes (q29 uses md5-derived longs for oracle parity). */
+  def simhash_sig(hashedTokens: Column): Column =
+    ColumnBridge.column(SimhashSig(ColumnBridge.expression(hashedTokens)))
+
+  /** md5-derived 64-bit token hash as a column expression, buildable in
+    * BOTH engines: (hi32 << 32) | lo32 where hi/lo parse hex chars 1-8 /
+    * 9-16 of md5(token). DuckDB: ('0x'||substr(md5(t),i,8))::BIGINT. */
+  def md5Long(t: Column): Column = {
+    import org.apache.spark.sql.functions._
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+  }
 
   /** Column-level API for [[SortedIntersectCount]] — inputs must be
     * sorted + distinct. */
