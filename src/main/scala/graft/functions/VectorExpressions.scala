@@ -40,7 +40,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      // null elements contribute nothing — same rule in eval and codegen
+      // (unguarded getFloat would NPE on GenericArrayData but silently read
+      // 0 on UnsafeArrayData, i.e. diverge by backing format)
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     acc
@@ -55,6 +59,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |${ev.value} = $acc;
@@ -84,7 +89,10 @@ case class VectorLshBits(child: Expression, planes: Array[Array[Double]])
       val n = math.min(v.numElements(), p.length)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += v.getFloat(i).toDouble * p(i); i += 1 }
+      while (i < n) {
+        if (!v.isNullAt(i)) acc += v.getFloat(i).toDouble * p(i)
+        i += 1
+      }
       if (acc > 0) sig |= (1L << b)
       b += 1
     }
@@ -107,6 +115,7 @@ case class VectorLshBits(child: Expression, planes: Array[Array[Double]])
          |  int $n = java.lang.Math.min($v.numElements(), $p.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i)) continue;
          |    $acc += ((double) $v.getFloat($i)) * $p[$i];
          |  }
          |  if ($acc > 0) $sig |= (1L << $b);
@@ -153,11 +162,17 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     var j = 0
     var c = 0
     while (i < nx && j < ny) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      // skip null elements (sorted-last by array_sort) — consistent with
+      // the generated code, instead of format-dependent getLong behavior
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -176,6 +191,8 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i)) { $i++; continue; }
+         |  if ($b.isNullAt($j)) { $j++; continue; }
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
          |  if ($xv == $yv) { $c++; $i++; $j++; }
@@ -216,12 +233,14 @@ case class MinhashSig(child: Expression, k: Int)
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < arr.numElements()) {
-      val h = arr.getLong(j)
-      var i = 0
-      while (i < k) {
-        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, i)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -239,6 +258,7 @@ case class MinhashSig(child: Expression, k: Int)
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  if ($a.isNullAt($j)) continue;
          |  long $h = $a.getLong($j);
          |  for (int $i = 0; $i < $k; $i++) {
          |    long $v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $i);
@@ -280,11 +300,13 @@ case class SimhashSig(child: Expression)
     val counts = new Array[Long](64)
     var j = 0
     while (j < arr.numElements()) {
-      val h = arr.getLong(j)
-      var b = 0
-      while (b < 64) {
-        counts(b) += ((h >>> b) & 1L) * 2L - 1L
-        b += 1
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) {
+          counts(b) += ((h >>> b) & 1L) * 2L - 1L
+          b += 1
+        }
       }
       j += 1
     }
@@ -307,6 +329,7 @@ case class SimhashSig(child: Expression)
       s"""
          |long[] $counts = new long[64];
          |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  if ($a.isNullAt($j)) continue;
          |  long $h = $a.getLong($j);
          |  for (int $b = 0; $b < 64; $b++) {
          |    $counts[$b] += ((($h >>> $b) & 1L) * 2L) - 1L;
@@ -339,7 +362,7 @@ object VectorFunctions {
     * matrix in SQL and hash-match LSH signatures end-to-end:
     * plane(b)(d) = int(first 12 hex chars of md5("b_d")) / 2^47 − 1.
     * 48 bits / 2^47 is an exact dyadic rational → the double is identical
-    * across engines; values are uniform in [−1, 2^−47 + 1) ≈ [−1, 1). */
+    * across engines; values are uniform in [−1, 1). */
   def lshPlanes(nBits: Int, dim: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(nBits, dim) { (b, d) =>

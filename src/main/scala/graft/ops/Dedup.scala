@@ -135,26 +135,68 @@ object Dedup {
       WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""))
 
-  /** SimHash: 64-bit signature from token hashes — per-bit majority vote of
-    * xxhash64(token). Near-dup docs differ in few bits; banding the 64 bits
-    * into 4×16-bit keys gives the Hamming-distance blocking join. Output is
-    * the per-doc signature + band keys (deterministic, hash-based). */
+  /** SimHash: 64-bit signature from token hashes — per-bit majority vote
+    * over the tokens (bit b of the signature = sign of Σ ±1 votes from bit
+    * b of each token hash). Near-dup docs differ in few bits; banding the
+    * 64 bits into 4×16-bit keys gives the Hamming-distance blocking join.
+    *
+    * The vote fold is the native codegen [[graft.functions.SimhashSig]]
+    * expression — one primitive |tokens|×64 loop per row. (The equivalent
+    * `aggregate(sequence(0,63), … aggregate(toks, …))` HOF nesting this
+    * replaced runs interpreted, 64×|tokens| boxed lambda evaluations per
+    * row.) Token hashes are md5-derived ((hi32 << 32) | lo32 of the first
+    * 16 digest hex chars) rather than xxhash64 precisely so the DuckDB
+    * oracle can rebuild the identical 64-bit values in SQL — md5 is the
+    * one hash both engines implement — and hash-match signatures and band
+    * keys bit-for-bit. The oracle folds votes by (doc, bit) over the
+    * unnested token list; `>>` is arithmetic in both engines, and `& 1`
+    * reads the same bit either way, so the vote terms are identical; the
+    * b=63 signature bit is added as −2^63 (signed wrap) because DuckDB's
+    * `<<` throws on overflow instead of wrapping. */
   val q29Simhash: QueryDef = QueryDef(
     "q29_simhash",
     (s, dir) => {
+      import graft.functions.VectorFunctions.{md5Long, simhash_sig}
       val docs = Tables(s, dir).documents
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      // bit b of simhash = sign of sum over tokens of (bit b set ? +1 : -1)
-      val withSig = docs.withColumn("sig", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-             acc | if(aggregate(toks, 0L, (a2, t) ->
-                        a2 + if(shiftright(xxhash64(t), b) & 1L = 1L, 1L, -1L)) > 0,
-                      shiftleft(1L, b), 0L))"""))
+      // md5 per token is the dominant cost and runs once per token inside
+      // the (interpreted) transform; the 64-bit vote fold — the part that
+      // is quadratic in (tokens × bits) — is the codegen'd SimhashSig
+      val withSig = docs.withColumn("sig",
+        simhash_sig(transform(col("toks"), t => md5Long(t))))
       val bandCols = (0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as(s"band$i"))
       withSig.select(Seq(col("doc_id"), col("sig")) ++ bandCols: _*)
     },
-    None)
+    Some("""WITH toks AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\w+')) AS t
+        FROM documents),
+      hashes AS (
+        SELECT doc_id,
+          (h_hi - CASE WHEN h_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+            * 4294967296 + h_lo AS h
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_hi,
+                ('0x' || substr(md5(t), 9, 8))::BIGINT AS h_lo
+              FROM toks)),
+      votes AS (
+        SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) > 0 AS bit
+        FROM hashes CROSS JOIN range(0, 64) r(b)
+        GROUP BY 1, 2),
+      sigs AS (
+        -- aggregate SUM promotes to HUGEINT (→ float64 in the comparator):
+        -- cast back; the value always fits, it IS a 64-bit bit pattern
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN bit AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
+            + CASE WHEN bool_or(bit AND b = 63)
+                   THEN -9223372036854775808 ELSE 0 END AS BIGINT) AS sig
+        FROM votes GROUP BY 1)
+      SELECT doc_id, sig,
+        (sig >> 0)  & 65535 AS band0,
+        (sig >> 16) & 65535 AS band1,
+        (sig >> 32) & 65535 AS band2,
+        (sig >> 48) & 65535 AS band3
+      FROM sigs"""))
 
   val all: Seq[QueryDef] = Seq(q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash)
 }

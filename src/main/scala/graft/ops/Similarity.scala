@@ -65,18 +65,21 @@ object Similarity {
       SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10"""))
 
   /** LSH random-hyperplane signatures: bit i = sign(dot(v, plane_i)), with
-    * pseudo-random planes derived deterministically from (i, dim) via a
-    * hash — no stored model, reproducible across runs and engines. Banding
-    * 16 bits into 4×4-bit keys gives candidate buckets; an exact cosine
-    * rescoring keeps candidates with cos >= 0.2. No SQL oracle (hash-seeded
-    * planes); rows-only check + SimilaritySpec recall test vs q30. */
+    * pseudo-random planes derived deterministically from md5((i, dim)) — no
+    * stored model, reproducible across runs AND engines: the DuckDB oracle
+    * rebuilds the identical plane matrix in SQL (md5 hex → dyadic-rational
+    * double, bit-identical), re-derives every signature, band key, candidate
+    * pair, and exact cosine rescoring (cos >= 0.2), and hash-matches the
+    * result end-to-end. Banding 16 bits into 4×4-bit keys gives candidate
+    * buckets; SimilaritySpec additionally measures recall vs q30's exact
+    * top-k. */
   val q31LshAnn: QueryDef = QueryDef(
     "q31_lsh_ann",
     (s, dir) => {
       val nBits = 16
       val emb = Tables(s, dir).embeddings
-      // plane matrix built once on the driver (deterministic seed); the
-      // signature is a single codegen'd expression — one tight loop per row
+      // plane matrix built once on the driver (deterministic, md5-derived);
+      // the signature is a single codegen'd expression — one tight loop per row
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       val planes = graft.functions.VectorFunctions.lshPlanes(nBits, dim)
       def sigBits(v: Column): Column =
@@ -107,7 +110,34 @@ object Similarity {
         .filter(col("cos") >= 0.2)
         .select(col("query_id"), col("neighbor_id"), col("cos"))
     },
-    None)
+    Some("""WITH planes AS (
+        SELECT b, list_transform(range(0, 64), d ->
+          ('0x' || substr(md5(b::VARCHAR || '_' || d::VARCHAR), 1, 12))::BIGINT
+            / 140737488355328.0 - 1.0) AS plane
+        FROM range(0, 16) t(b)),
+      bits AS (
+        SELECT e.vec_id, p.b,
+          list_sum(list_transform(list_zip(e.embedding, p.plane),
+            x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 AS bit
+        FROM embeddings e CROSS JOIN planes p),
+      keys AS (
+        SELECT vec_id, b // 4 AS band,
+          SUM(CASE WHEN bit THEN (1::BIGINT << (b % 4)) ELSE 0 END) AS key
+        FROM bits GROUP BY 1, 2),
+      pairs AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM keys q JOIN keys c ON q.band = c.band AND q.key = c.key
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT p.query_id, p.neighbor_id,
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = p.neighbor_id)
+      SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= 0.2"""))
 
   /** Embedding-cosine near-dup dedup: all pairs above the similarity
     * threshold, reduced to (dup → keeper) with keeper = the smallest
