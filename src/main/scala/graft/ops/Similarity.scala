@@ -141,11 +141,11 @@ object Similarity {
 
   /** Embedding-cosine near-dup dedup: all pairs above the similarity
     * threshold, reduced to (dup → keeper) with keeper = the smallest
-    * linked id. Exact O(n²) scoring here — tractable because the codegen'd
-    * VectorDot makes the pair scan compute-bound, and it doubles as the
-    * recall-1.0 oracle for this table size; at corpus scale the candidate
-    * generator swaps to the LSH banding of q31 unchanged (same scoring
-    * and reduction on the candidate set). */
+    * linked id. Exact O(n²) scoring — the recall-1.0 baseline, tractable
+    * because the codegen'd VectorDot makes the pair scan compute-bound.
+    * [[q74BandedEmbeddingDedup]] is the banded corpus-scale variant of the
+    * same reduction; this query is the yardstick its measured recall is
+    * defined against. */
   val q55EmbeddingDedup: QueryDef = QueryDef(
     "q55_embedding_dedup",
     (s, dir) => {
@@ -176,5 +176,90 @@ object Similarity {
       SELECT ib AS dup_id, MIN(ia) AS keeper_id, COUNT(*) AS n_links, MAX(cos) AS best_cos
       FROM pairs WHERE cos > 0.4 GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q30CosineKnn, q31LshAnn, q55EmbeddingDedup)
+  /** Banded corpus-vs-corpus embedding dedup — q55's scoring and reduction
+    * with an LSH candidate generator instead of the all-pairs scan: BOTH
+    * sides get 64-bit random-hyperplane signatures (md5-derived planes, so
+    * the DuckDB oracle can rebuild them), banded into 16×4-bit keys; only
+    * same-(band, key) pairs are rescored exactly and reduced.
+    *
+    * Precision is exactly 1 (candidates are rescored with the exact
+    * cosine); recall is the banding's and is data-dependent. On THIS
+    * corpus the near-dup threshold 0.4 sits against a continuum of
+    * background pairs (measured: no margin anywhere in [0.2, 0.51], at
+    * both gate SFs), which is the regime where no sublinear candidate
+    * generator can be recall-1 — measured recall vs q55 here is 0.93 at
+    * sf0.01 / 0.95 at sf0.1 (OpsSpec asserts the floor). On a real corpus,
+    * near-dups are far above the background (and the dial is nBits /
+    * bits-per-band). Because recall is a property of the fixed md5 planes,
+    * the ORACLE replicates the banded pipeline itself — planes,
+    * signatures, band keys, candidate join, rescoring, reduction — so the
+    * driver hash-checks the whole operator end-to-end rather than a
+    * recall claim the data can't support. The candidate join shuffles
+    * (band, key, id) rows only; vectors are joined back once per
+    * surviving pair. */
+  val q74BandedEmbeddingDedup: QueryDef = QueryDef(
+    "q74_banded_embedding_dedup",
+    (s, dir) => {
+      val nBits = 64
+      val bandBits = 4
+      val nBands = nBits / bandBits
+      val emb = Tables(s, dir).embeddings
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val planes = graft.functions.VectorFunctions.lshPlanes(nBits, dim)
+      // single-row-group scan → spread the signature pass across the pool
+      val banded = emb
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vector_lsh_bits(col("embedding"), planes).as("sig"))
+        .select(col("vec_id"),
+          explode(array((0 until nBands).map(i =>
+            struct(lit(i).as("band"),
+                   shiftright(col("sig"), i * bandBits).bitwiseAND(lit(0xFL)).as("key"))): _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band"), col("bk.key"))
+      val aS = banded.select(col("band"), col("key"), col("vec_id").as("ia"))
+      val bS = banded.select(col("band"), col("key"), col("vec_id").as("ib"))
+      val pairs = aS.join(bS, Seq("band", "key")).filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib")).distinct()
+      val va = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      val vb = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      pairs.join(va, Seq("ia")).join(vb, Seq("ib"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") > 0.4)
+        .groupBy(col("ib").as("dup_id"))
+        .agg(min(col("ia")).as("keeper_id"),
+             count(lit(1)).as("n_links"),
+             max(col("cos")).as("best_cos"))
+    },
+    Some("""WITH planes AS (
+        SELECT b, list_transform(range(0, 64), d ->
+          ('0x' || substr(md5(b::VARCHAR || '_' || d::VARCHAR), 1, 12))::BIGINT
+            / 140737488355328.0 - 1.0) AS plane
+        FROM range(0, 64) t(b)),
+      bits AS (
+        SELECT e.vec_id, p.b,
+          list_sum(list_transform(list_zip(e.embedding, p.plane),
+            x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 AS bit
+        FROM embeddings e CROSS JOIN planes p),
+      keys AS (
+        SELECT vec_id, b // 4 AS band,
+          SUM(CASE WHEN bit THEN (1::BIGINT << (b % 4)) ELSE 0 END) AS key
+        FROM bits GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+        FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+        WHERE a.vec_id < b.vec_id),
+      scored AS (
+        SELECT c.ia, c.ib,
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ia
+        JOIN embeddings b ON b.vec_id = c.ib)
+      SELECT ib AS dup_id, MIN(ia) AS keeper_id, COUNT(*) AS n_links, MAX(cos) AS best_cos
+      FROM scored WHERE cos > 0.4 GROUP BY 1"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q30CosineKnn, q31LshAnn, q55EmbeddingDedup, q74BandedEmbeddingDedup)
 }

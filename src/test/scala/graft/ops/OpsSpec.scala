@@ -86,6 +86,25 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("banded embedding dedup: precision 1 vs the exact baseline, recall floor holds") {
+    // q74 = q55's scoring+reduction over LSH candidates: every output row
+    // must be a true near-dup (exact rescoring ⇒ precision 1), with
+    // keeper/links/best bounded by the exact baseline's; dup-id recall is
+    // the banding's — measured ~0.9+ on this corpus (threshold 0.4 sits in
+    // a continuum, the worst case for any sublinear candidate generator)
+    val banded = Similarity.q74BandedEmbeddingDedup.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val exact = Similarity.q55EmbeddingDedup.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(banded.keySet.subsetOf(exact.keySet))
+    banded.foreach { case (id, (keeper, links, best)) =>
+      val (ek, el, eb) = exact(id)
+      assert(keeper >= ek && links <= el && best <= eb + 1e-12, s"dup $id")
+    }
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.8, s"dup-id recall $recall")
+  }
+
   test("exact dedup keeps one keeper per fingerprint") {
     val res = Dedup.q26ExactDedup.fn(spark, sfDir)
     val total = res.agg(sum(col("n_copies"))).head().getLong(0)
