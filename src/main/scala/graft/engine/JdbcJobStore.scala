@@ -1,0 +1,299 @@
+package graft.engine
+
+import java.sql.{Connection, DriverManager, PreparedStatement, ResultSet, SQLException}
+import scala.collection.mutable
+
+/** The shared, durable, multi-process store backend — the reference's
+  * production deployment story (reference src/overseer/store/jdbc.clj,
+  * doc/guide/Concepts.md "Worker": a masterless worker pool coordinating
+  * only through a shared SQL database with optimistic locking).
+  *
+  * Physical schema mirrors jdbc.clj:131-154: `overseer_jobs(id PK, type,
+  * args, status, failure, heartbeat, lock_version, created_at, updated_at)`
+  * + `overseer_dependencies(job_id, dep_id)` with the reference's three
+  * indexes; status stored as the reference's integer codes
+  * (jdbc.clj:16-24 via [[JobStatus.code]]).
+  *
+  * Concurrency model: each instance owns ONE JDBC connection — one instance
+  * per worker process. Cross-instance safety does NOT come from JVM locks:
+  * every conditional transition is a single `UPDATE ... WHERE id = ? AND
+  * lock_version = ?` (jdbc.clj:62-87), so two racing workers resolve at the
+  * database — exactly one statement reports 1 row updated, the loser gets
+  * None. `transactGraph` is a transaction that swallows duplicate-primary-key
+  * failures whole (insert-everything-or-nothing, never upsert,
+  * jdbc.clj:169-185 / dup-primary-key-ex?).
+  *
+  * Tested against embedded Derby (`jdbc:derby:memory:...` /
+  * `jdbc:derby:/path`), whose engine is single-JVM; the SQL here is
+  * deliberately vanilla (no Derby-isms beyond FETCH FIRST) so a server URL
+  * (MySQL et al., the reference's production adapter) gives true
+  * multi-process coordination with no code change.
+  */
+final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
+
+  private val conn: Connection = DriverManager.getConnection(url)
+  conn.setAutoCommit(true)
+  // JDBC connections are not thread-safe; serialize statements on this
+  // instance. Cross-instance races are resolved by the database CAS.
+  private val lock = new Object
+
+  private def now: Long = System.currentTimeMillis() / 1000L
+
+  // -- row codec -------------------------------------------------------------
+
+  private def readJob(rs: ResultSet): Job = Job(
+    id = rs.getString("id"),
+    jobType = rs.getString("type"),
+    status = JobStatus.fromCode(rs.getInt("status")),
+    args = Option(rs.getString("args")),
+    failure = Option(rs.getString("failure")),
+    heartbeat = { val h = rs.getLong("heartbeat"); if (rs.wasNull()) None else Some(h) },
+    lockVersion = rs.getLong("lock_version"),
+    createdAt = rs.getLong("created_at"),
+    updatedAt = rs.getLong("updated_at"))
+
+  private def setNullable(ps: PreparedStatement, i: Int, v: Option[String]): Unit =
+    v match {
+      case Some(s) => ps.setString(i, s)
+      case None    => ps.setNull(i, java.sql.Types.VARCHAR)
+    }
+
+  private def query[A](sql: String, binds: Seq[Any] = Nil)(read: ResultSet => A): Vector[A] =
+    lock.synchronized {
+      val ps = conn.prepareStatement(sql)
+      try {
+        bind(ps, binds)
+        val rs = ps.executeQuery()
+        val out = Vector.newBuilder[A]
+        while (rs.next()) out += read(rs)
+        out.result()
+      } finally ps.close()
+    }
+
+  private def exec(sql: String, binds: Seq[Any] = Nil): Int = lock.synchronized {
+    val ps = conn.prepareStatement(sql)
+    try { bind(ps, binds); ps.executeUpdate() } finally ps.close()
+  }
+
+  private def bind(ps: PreparedStatement, binds: Seq[Any]): Unit =
+    binds.zipWithIndex.foreach {
+      case (v: String, i) => ps.setString(i + 1, v)
+      case (v: Int, i)    => ps.setInt(i + 1, v)
+      case (v: Long, i)   => ps.setLong(i + 1, v)
+      case (v, _)         => throw new IllegalArgumentException(s"unbindable $v")
+    }
+
+  // -- Store protocol ----------------------------------------------------------
+
+  /** DDL per jdbc.clj:131-154 (install'), Derby dialect: SMALLINT for the
+    * status code (Derby has no TINYINT), BIGINT unix-seconds timestamps to
+    * match the Job model. Not idempotent, like the reference. */
+  override def install(): String = lock.synchronized {
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          """CREATE TABLE overseer_jobs (
+            |  id VARCHAR(64) PRIMARY KEY,
+            |  type VARCHAR(255),
+            |  args VARCHAR(2048),
+            |  status SMALLINT,
+            |  failure VARCHAR(2048),
+            |  heartbeat BIGINT,
+            |  lock_version BIGINT NOT NULL DEFAULT 0,
+            |  created_at BIGINT,
+            |  updated_at BIGINT)""".stripMargin)
+        st.executeUpdate(
+          "CREATE TABLE overseer_dependencies (job_id VARCHAR(64), dep_id VARCHAR(64))")
+        st.executeUpdate(
+          "CREATE INDEX index_overseer_jobs_on_status ON overseer_jobs (status)")
+        st.executeUpdate(
+          "CREATE INDEX index_overseer_dependencies_on_job_id ON overseer_dependencies (job_id)")
+        st.executeUpdate(
+          "CREATE INDEX index_overseer_dependencies_on_dep_id ON overseer_dependencies (dep_id)")
+      } finally st.close()
+      ":ok"
+    } catch {
+      // Derby X0Y32 = object already exists — surface as the suite's
+      // "install is not idempotent" contract
+      case e: SQLException if e.getSQLState == "X0Y32" =>
+        throw new IllegalArgumentException("store already installed", e)
+    }
+  }
+
+  /** All-or-nothing transactional insert; a duplicate primary key rolls the
+    * whole graph back and is swallowed (idempotent re-transact, never
+    * upsert) — jdbc.clj:169-185. */
+  override def transactGraph(g: JobGraph): JobGraph = lock.synchronized {
+    require(g.isValid, s"invalid graph: $g")
+    val t = now
+    conn.setAutoCommit(false)
+    try {
+      val jobPs = conn.prepareStatement(
+        """INSERT INTO overseer_jobs
+          |  (id, type, args, status, failure, heartbeat, lock_version, created_at, updated_at)
+          |VALUES (?, ?, ?, ?, ?, ?, 0, ?, ?)""".stripMargin)
+      try {
+        g.jobs.foreach { j =>
+          jobPs.setString(1, j.id)
+          jobPs.setString(2, j.jobType)
+          setNullable(jobPs, 3, j.args)
+          jobPs.setInt(4, JobStatus.code(j.status))
+          setNullable(jobPs, 5, j.failure)
+          j.heartbeat match {
+            case Some(h) => jobPs.setLong(6, h)
+            case None    => jobPs.setNull(6, java.sql.Types.BIGINT)
+          }
+          jobPs.setLong(7, t)
+          jobPs.setLong(8, t)
+          jobPs.executeUpdate()
+        }
+      } finally jobPs.close()
+      val depPs = conn.prepareStatement(
+        "INSERT INTO overseer_dependencies (job_id, dep_id) VALUES (?, ?)")
+      try {
+        g.deps.foreach { d =>
+          depPs.setString(1, d.jobId); depPs.setString(2, d.depId); depPs.executeUpdate()
+        }
+      } finally depPs.close()
+      conn.commit()
+      g
+    } catch {
+      case e: SQLException if e.getSQLState == "23505" => // duplicate PK
+        conn.rollback(); g
+      case e: Throwable =>
+        conn.rollback(); throw e
+    } finally conn.setAutoCommit(true)
+  }
+
+  override def jobInfo(id: String): Option[Job] =
+    query("SELECT * FROM overseer_jobs WHERE id = ?", Seq(id))(readJob).headOption
+
+  /** Read → apply pred/f in memory → ONE conditional UPDATE guarded by the
+    * read lock_version (jdbc.clj:62-87). A concurrent writer from any other
+    * connection bumps the version and this statement updates 0 rows → None.
+    * This is the database-level CAS every FSM transition rides on. */
+  override def updateJob(id: String, pred: Job => Boolean, f: Job => Job): Option[Job] =
+    jobInfo(id).filter(pred).flatMap { j =>
+      val u = f(j).copy(id = j.id, lockVersion = j.lockVersion + 1, updatedAt = now)
+      val n = lock.synchronized {
+        val ps = conn.prepareStatement(
+          """UPDATE overseer_jobs
+            |SET type = ?, args = ?, status = ?, failure = ?, heartbeat = ?,
+            |    lock_version = ?, updated_at = ?
+            |WHERE id = ? AND lock_version = ?""".stripMargin)
+        try {
+          ps.setString(1, u.jobType)
+          setNullable(ps, 2, u.args)
+          ps.setInt(3, JobStatus.code(u.status))
+          setNullable(ps, 4, u.failure)
+          u.heartbeat match {
+            case Some(h) => ps.setLong(5, h)
+            case None    => ps.setNull(5, java.sql.Types.BIGINT)
+          }
+          ps.setLong(6, u.lockVersion)
+          ps.setLong(7, u.updatedAt)
+          ps.setString(8, j.id)
+          ps.setLong(9, j.lockVersion)
+          ps.executeUpdate()
+        } finally ps.close()
+      }
+      if (n == 1) Some(u) else None
+    }
+
+  override def reserveJob(id: String): Option[Job] =
+    updateJob(id, _.status == JobStatus.Unstarted,
+      _.copy(status = JobStatus.Started, heartbeat = Some(now)))
+
+  override def finishJob(id: String): Unit = {
+    val r = updateJob(id, _.status == JobStatus.Started, _.copy(status = JobStatus.Finished))
+    if (r.isEmpty) throw new IllegalStateException(s"finish-job: job $id not in started state")
+  }
+
+  override def failJob(id: String, failure: Option[String]): Unit = {
+    val r = updateJob(id, _.status == JobStatus.Started,
+      _.copy(status = JobStatus.Failed, failure = failure))
+    if (r.isEmpty) throw new IllegalStateException(s"fail-job: job $id not in started state")
+  }
+
+  override def heartbeatJob(id: String): Unit = {
+    updateJob(id, _ => true, _.copy(heartbeat = Some(now)))
+    ()
+  }
+
+  /** Transitive dependents via the reference's iterative frontier over
+    * `overseer_dependencies` (jdbc.clj:96-116), then one bulk UPDATE. Only
+    * non-terminal rows transition ({unstarted,started}→aborted), matching
+    * the FSM and the other backends. */
+  override def abortJob(id: String): Unit = lock.synchronized {
+    val targets = mutable.Set(id)
+    var frontier = Set(id)
+    while (frontier.nonEmpty) {
+      val in = frontier.toSeq
+      val next = query(
+        s"SELECT DISTINCT job_id FROM overseer_dependencies WHERE dep_id IN (${placeholders(in.size)})",
+        in)(_.getString(1)).toSet -- targets
+      targets ++= next
+      frontier = next
+    }
+    val ids = targets.toSeq
+    exec(
+      s"""UPDATE overseer_jobs
+         |SET status = ${JobStatus.code(JobStatus.Aborted)},
+         |    lock_version = lock_version + 1, updated_at = ?
+         |WHERE id IN (${placeholders(ids.size)})
+         |  AND status IN (${JobStatus.code(JobStatus.Unstarted)}, ${JobStatus.code(JobStatus.Started)})""".stripMargin,
+      now +: ids)
+    ()
+  }
+
+  override def resetJob(id: String): Option[Job] =
+    updateJob(id, _.status == JobStatus.Started,
+      _.copy(status = JobStatus.Unstarted, heartbeat = None))
+
+  /** The scheduler's readiness anti-join, pushed to the database exactly as
+    * the reference does (jdbc.clj:230-242): unstarted AND id not among jobs
+    * with any non-finished dependency. */
+  override def jobsReady(limit: Int): Set[String] =
+    query(
+      s"""SELECT id FROM overseer_jobs
+         |WHERE status = ${JobStatus.code(JobStatus.Unstarted)}
+         |  AND id NOT IN (
+         |    SELECT d.job_id FROM overseer_dependencies d
+         |    JOIN overseer_jobs p ON p.id = d.dep_id
+         |    WHERE p.status <> ${JobStatus.code(JobStatus.Finished)})
+         |${fetchFirst(limit)}""".stripMargin)(_.getString(1)).toSet
+
+  override def readyJobs(limit: Int): Seq[Job] =
+    query(
+      s"""SELECT * FROM overseer_jobs
+         |WHERE status = ${JobStatus.code(JobStatus.Unstarted)}
+         |  AND id NOT IN (
+         |    SELECT d.job_id FROM overseer_dependencies d
+         |    JOIN overseer_jobs p ON p.id = d.dep_id
+         |    WHERE p.status <> ${JobStatus.code(JobStatus.Finished)})
+         |${fetchFirst(limit)}""".stripMargin)(readJob)
+
+  override def jobsDead(threshold: Long, limit: Int): Set[String] =
+    query(
+      s"""SELECT id FROM overseer_jobs
+         |WHERE status = ${JobStatus.code(JobStatus.Started)} AND heartbeat < ?
+         |${fetchFirst(limit)}""".stripMargin, Seq(threshold))(_.getString(1)).toSet
+
+  override def jobsWithStatus(status: String): Set[String] =
+    query("SELECT id FROM overseer_jobs WHERE status = ?",
+      Seq(JobStatus.code(status)))(_.getString(1)).toSet
+
+  override def snapshotJobs: Seq[Job] =
+    query("SELECT * FROM overseer_jobs")(readJob)
+
+  override def snapshotDeps: Seq[Dep] =
+    query("SELECT job_id, dep_id FROM overseer_dependencies")(rs =>
+      Dep(rs.getString(1), rs.getString(2)))
+
+  private def placeholders(n: Int): String = Seq.fill(n)("?").mkString(", ")
+  private def fetchFirst(limit: Int): String =
+    if (limit == Int.MaxValue) "" else s"FETCH FIRST $limit ROWS ONLY"
+
+  override def close(): Unit = lock.synchronized(conn.close())
+}

@@ -54,6 +54,14 @@ trait JobStore {
   /** Ids started with heartbeat < threshold (core.clj:149-152). */
   def jobsDead(threshold: Long, limit: Int = Int.MaxValue): Set[String]
 
+  /** [[jobsReady]], hydrated: the ready jobs themselves, not just ids. The
+    * default composes the existing ops; backends with a query engine (JDBC)
+    * override with one round-trip, removing the detector's N+1 point
+    * lookups (reference worker.clj:14-22 does hydrate per-id; this is the
+    * batched form). */
+  def readyJobs(limit: Int = Int.MaxValue): Seq[Job] =
+    jobsReady(limit).toSeq.flatMap(jobInfo)
+
   /** All ids currently in `status` — the modern equivalent of the
     * reference's pre-0.9 Monitoring.md status queries (SURVEY.md §7
     * "doc drift"): the docs describe `overseer.status` helpers whose

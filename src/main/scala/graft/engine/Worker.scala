@@ -38,11 +38,12 @@ final class Worker(store: JobStore, handlers: Map[String, Handler],
   private val rand       = config.seed.map(new Random(_)).getOrElse(new Random())
   private var threads    = Seq.empty[Thread]
 
-  /** One detector pass: ready ids, hydrated and filtered to the types this
-    * worker has handlers for (heterogeneous pools, worker.clj:14-22). */
+  /** One detector pass: ready jobs hydrated in one store round-trip and
+    * filtered to the types this worker has handlers for (heterogeneous
+    * pools, worker.clj:14-22 — batched, not the reference's per-id N+1). */
   def detectOnce(): Set[String] = {
-    val ready = store.jobsReady()
-      .filter(id => store.jobInfo(id).exists(j => handlers.contains(j.jobType)))
+    val ready = store.readyJobs()
+      .filter(j => handlers.contains(j.jobType)).map(_.id).toSet
     readyCache.set(ready)
     ready
   }
