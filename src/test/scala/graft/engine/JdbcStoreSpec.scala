@@ -100,6 +100,56 @@ class JdbcStoreSpec extends AnyFunSuite with JobStoreBehaviors {
     } finally s2.close()
   }
 
+  test("masterless pool across connections: 4 workers × 4 connections, one shared DAG, exactly-once") {
+    // The Concepts.md "Worker" contract end-to-end over the shared backend:
+    // each worker owns its OWN store instance (own connection — the stand-in
+    // for a separate process), never talks to the others, and every
+    // reservation race resolves at the database CAS.
+    val url = freshUrl()
+    val install = new JdbcJobStore(url); install.install()
+    val adj: Map[String, Seq[String]] =
+      (1 until 6).map(i => s"a$i" -> Seq(s"a${i - 1}")).toMap ++
+      Map("a0" -> Seq.empty, "b0" -> Seq.empty,
+          "d1" -> Seq("a0", "b0"), "d2" -> Seq("a0"), "d3" -> Seq("d1", "d2"))
+    install.transactGraph(JobGraph.jobGraph(adj))
+
+    val runs = new ConcurrentHashMap[String, AtomicInteger]()
+    val order = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val handlers = adj.keys.map { t =>
+      t -> Handler { j =>
+        runs.computeIfAbsent(j.jobType, _ => new AtomicInteger).incrementAndGet()
+        order.add(j.jobType)
+        Thread.sleep(1) // widen the race window
+        t
+      }
+    }.toMap
+
+    val stores = (1 to 4).map(_ => new JdbcJobStore(url))
+    val workers = stores.zipWithIndex.map { case (s, i) =>
+      new Worker(s, handlers,
+        WorkerConfig(detectorSleepMs = 5, sleepMs = 5, seed = Some(500L + i))).start()
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+             !install.snapshotJobs.forall(_.status == JobStatus.Finished)) Thread.sleep(20)
+    } finally { workers.foreach(_.stop()); stores.foreach(_.close()) }
+
+    assert(install.snapshotJobs.forall(_.status == JobStatus.Finished),
+      s"not drained: ${install.snapshotJobs.filterNot(_.status == JobStatus.Finished).map(j => j.jobType -> j.status)}")
+    adj.keys.foreach { t =>
+      assert(runs.get(t).get() == 1, s"$t ran ${runs.get(t).get()} times")
+    }
+    val pos = {
+      import scala.jdk.CollectionConverters._
+      order.asScala.zipWithIndex.toMap
+    }
+    adj.foreach { case (child, parents) =>
+      parents.foreach(p => assert(pos(p) < pos(child), s"$p !< $child in $order"))
+    }
+    install.close()
+  }
+
   test("readyJobs hydrates in one round-trip and honors the limit") {
     val s = freshStore()
     val g = JobGraph.jobGraph(Map("a" -> Seq.empty, "b" -> Seq.empty, "c" -> Seq("a")))
