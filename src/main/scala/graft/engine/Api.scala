@@ -1,0 +1,127 @@
+package graft.engine
+
+/** Typed configuration — the reference's config map surface
+  * (src/overseer/config.clj:1-74, examples/config.yml): a required
+  * `store.adapter` with adapter-specific options, plus optional worker
+  * cadences with the reference's defaults. [[GraftConfig.fromMap]] accepts
+  * the parsed-YAML shape (nested maps with the reference's kebab-case keys)
+  * so a config file deserialized by any means plugs straight in.
+  */
+final case class StoreConfig(adapter: String, options: Map[String, String] = Map.empty)
+
+final case class GraftConfig(
+    store: StoreConfig,
+    detectorSleepMs: Long = 2000L,   // config.clj:62-63
+    sleepMs: Long = 10000L,          // config.clj:65-66
+    heartbeatSleepMs: Long = 60000L, // config.clj:68-69
+    heartbeatTolerance: Int = 5) {   // config.clj:71-72
+
+  def workerConfig: WorkerConfig = WorkerConfig(
+    detectorSleepMs = detectorSleepMs,
+    sleepMs = sleepMs,
+    heartbeatSleepMs = heartbeatSleepMs,
+    heartbeatTolerance = heartbeatTolerance)
+}
+
+object GraftConfig {
+
+  /** Parse the reference's config-map shape (examples/config.yml):
+    * {{{
+    * store:
+    *   adapter: jdbc
+    *   config: { url: "jdbc:derby:memory:g;create=true" }
+    * detector-sleep-time: 2000
+    * sleep-time: 10000
+    * heartbeat: { sleep-time: 60000, tolerance: 5 }
+    * }}}
+    * Missing optional keys take the reference defaults; a missing adapter
+    * fails with the reference's assertion message (config.clj:41-44).
+    */
+  def fromMap(m: Map[String, Any]): GraftConfig = {
+    def sub(key: String): Map[String, Any] = m.get(key) match {
+      case Some(mm: Map[_, _]) => mm.map { case (k, v) => k.toString -> (v: Any) }
+      case _                   => Map.empty
+    }
+    def long(mm: Map[String, Any], key: String, dflt: Long): Long = mm.get(key) match {
+      case Some(n: Number) => n.longValue()
+      case Some(s: String) => s.toLong
+      case _               => dflt
+    }
+    val storeMap = sub("store")
+    val adapter = storeMap.get("adapter").map(_.toString)
+      .getOrElse(throw new IllegalArgumentException("Store adapter is required"))
+    val options = (storeMap.get("config") match {
+      case Some(mm: Map[_, _]) => mm.map { case (k, v) => k.toString -> v.toString }
+      case Some(s: String)     => Map("url" -> s) // bare JDBC URI form, config.clj:18
+      case _                   => Map.empty[String, String]
+    })
+    val hb = sub("heartbeat")
+    GraftConfig(
+      store = StoreConfig(adapter, options),
+      detectorSleepMs = long(m, "detector-sleep-time", 2000L),
+      sleepMs = long(m, "sleep-time", 10000L),
+      heartbeatSleepMs = long(hb, "sleep-time", 60000L),
+      heartbeatTolerance = long(hb, "tolerance", 5L).toInt)
+  }
+}
+
+/** The user-facing facade — the reference's `overseer.api`
+  * (src/overseer/api.clj): config-driven store construction with
+  * per-adapter dispatch (api.clj:25-42), worker startup (api.clj:44-48),
+  * and the graph/control-flow helpers re-exported from their homes.
+  *
+  * A complete embedded deployment is three calls:
+  * {{{
+  * val store  = Graft.store(config)        // adapter-dispatched
+  * store.install()
+  * Graft.start(config, store, handlers)    // masterless worker, 4 loops
+  * }}}
+  */
+object Graft {
+
+  /** Adapter key → constructor, the api.clj:25-33 dispatch table. `jdbc`
+    * covers the reference's mysql/h2/sqlite trio (any JDBC URL — one
+    * driver-agnostic store, store/jdbc.clj); `memory` and `log` are this
+    * library's embedded backends. */
+  private val jdbcAdapters = Set("jdbc", "derby", "mysql", "h2", "sqlite")
+
+  def store(config: GraftConfig): JobStore = {
+    val adapter = config.store.adapter
+    def opt(key: String, what: String): String =
+      config.store.options.getOrElse(key,
+        throw new IllegalArgumentException(what))
+    adapter match {
+      case "memory"                 => new InMemoryJobStore
+      case "log"                    => new LogBackedJobStore(opt("dir", "log adapter requires a :dir"))
+      case a if jdbcAdapters(a)     => new JdbcJobStore(opt("url", "Valid JDBC adapter and config are required"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unknown store adapter $other; expected one of memory, log, ${jdbcAdapters.toSeq.sorted.mkString(", ")}")
+    }
+  }
+
+  /** Start a worker from config (api.clj:44-48 `start`): cadences from the
+    * config map, coordination purely through the shared store. */
+  def start(config: GraftConfig, store: JobStore, handlers: Map[String, Handler],
+            reporter: Option[Reporter] = None): Worker =
+    new Worker(store, handlers, config.workerConfig, reporter).start()
+
+  /** api.clj:50-79 graph constructors. */
+  def jobGraph(adjacency: Map[String, Seq[String]], args: Option[String] = None): JobGraph =
+    JobGraph.jobGraph(adjacency, args)
+
+  def simpleGraph(jobs: Job*): JobGraph = JobGraph.simpleGraph(jobs: _*)
+
+  /** api.clj:80-86 validate-graph-handlers: assert every type in the graph
+    * has a handler. */
+  def validateGraphHandlers(handlers: Map[String, Handler],
+                            adjacency: Map[String, Seq[String]]): Unit = {
+    val missing = JobGraph.missingHandlers(handlers.keySet, adjacency)
+    require(missing.isEmpty, s"Invalid graph; missing handlers ${missing.mkString(", ")}")
+  }
+
+  /** Control-flow signals thrown from inside handlers (api.clj:99-118). */
+  def abort(msg: String): Nothing       = throw AbortJob(msg)
+  def abortSilent(msg: String): Nothing = throw AbortJob(msg, silent = true)
+  def fault(msg: String): Nothing       = throw TransientFault(msg)
+}
