@@ -79,8 +79,9 @@ object Similarity {
       val nBits = 16
       val emb = Tables(s, dir).embeddings
       // plane matrix built once on the driver (deterministic, md5-derived);
-      // the signature is a single codegen'd expression — one tight loop per row
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      // the signature is a single codegen'd expression — one tight loop per
+      // row. Dim comes from a driver-side parquet record read, not a job.
+      val dim = Tables.embeddingDim(dir)
       val planes = graft.functions.VectorFunctions.lshPlanes(nBits, dim)
       def sigBits(v: Column): Column =
         graft.functions.VectorFunctions.vector_lsh_bits(v, planes)
@@ -204,7 +205,7 @@ object Similarity {
       val bandBits = 4
       val nBands = nBits / bandBits
       val emb = Tables(s, dir).embeddings
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val dim = Tables.embeddingDim(dir)
       val planes = graft.functions.VectorFunctions.lshPlanes(nBits, dim)
       // single-row-group scan → spread the signature pass across the pool
       val banded = emb
