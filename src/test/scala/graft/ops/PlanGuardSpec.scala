@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** The "only the yardsticks are quadratic" contract, as a test instead of a
+  * doc claim: every registered query's physical plan is checked for
+  * CartesianProduct / BroadcastNestedLoopJoin.
+  *
+  * Two allowlists, by reason:
+  *  - quadraticYardsticks — plans that ARE pairwise by contract: q55 (the
+  *    all-pairs recall-1.0 baseline q74's banded twin is measured against)
+  *    and q30 (few broadcast queries × corpus — the right plan for
+  *    few-query exact kNN). q27, the other documented yardstick, is
+  *    quadratic in WORK but not in plan shape (its pair scan rides a lang
+  *    equi-join), so it is intentionally NOT exempted here.
+  *  - scalarBroadcasts — a 1-row aggregate broadcast against a linear side
+  *    (the scalar-subquery idiom: q34's liveness cutoff, q56's corpus-size
+  *    N). BroadcastNestedLoopJoin with a single-row build side is linear.
+  *
+  * Anything else acquiring one of these join shapes is a scale regression
+  * this suite catches at plan time, before any bench run.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private val quadraticYardsticks = Set(
+    "q55_embedding_dedup",
+    "q30_cosine_knn")
+
+  private val scalarBroadcasts = Set(
+    "q34_dead_heartbeats",
+    "q56_tfidf")
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("no cartesian/nested-loop join outside the allowlists") {
+    val exempt = quadraticYardsticks ++ scalarBroadcasts
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .filter { name =>
+        val plan = planOf(name)
+        plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes outside the allowlist: ${offenders.mkString(", ")}")
+  }
+
+  test("the exempted plans still carry the shape (allowlists are not dead)") {
+    (quadraticYardsticks ++ scalarBroadcasts).foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name no longer plans a nested-loop join — remove it from the allowlist")
+    }
+  }
+}
