@@ -101,10 +101,14 @@ object Graft {
   }
 
   /** Start a worker from config (api.clj:44-48 `start`): cadences from the
-    * config map, coordination purely through the shared store. */
+    * config map, coordination purely through the shared store. `onFatal`
+    * picks the supervision mode — [[Worker.stopOnly]] (embedded default)
+    * or [[Worker.exitProcess]] (the reference's crash-only service mode,
+    * errors.clj:83-92). */
   def start(config: GraftConfig, store: JobStore, handlers: Map[String, Handler],
-            reporter: Option[Reporter] = None): Worker =
-    new Worker(store, handlers, config.workerConfig, reporter).start()
+            reporter: Option[Reporter] = None,
+            onFatal: Throwable => Unit = Worker.stopOnly): Worker =
+    new Worker(store, handlers, config.workerConfig, reporter, onFatal).start()
 
   /** api.clj:50-79 graph constructors. */
   def jobGraph(adjacency: Map[String, Seq[String]], args: Option[String] = None): JobGraph =

@@ -30,13 +30,23 @@ final case class WorkerConfig(
   */
 final class Worker(store: JobStore, handlers: Map[String, Handler],
                    config: WorkerConfig = WorkerConfig(),
-                   reporter: Option[Reporter] = None) {
+                   reporter: Option[Reporter] = None,
+                   onFatal: Throwable => Unit = Worker.stopOnly) {
 
   private val running    = new AtomicBoolean(false)
   private val readyCache = new AtomicReference[Set[String]](Set.empty)
   private val currentJob = new AtomicReference[Option[String]](None)
+  private val fatal      = new AtomicReference[Option[Throwable]](None)
   private val rand       = config.seed.map(new Random(_)).getOrElse(new Random())
   private var threads    = Seq.empty[Thread]
+
+  /** True while the four loops are live; false before start and after stop
+    * or a fatal framework error. Embedders supervising in-process poll this
+    * (plus [[fatalError]]) to decide whether to respawn. */
+  def isRunning: Boolean = running.get()
+
+  /** The framework error that stopped this worker, if any. */
+  def fatalError: Option[Throwable] = fatal.get()
 
   /** One detector pass: ready jobs hydrated in one store round-trip and
     * filtered to the types this worker has handlers for (heterogeneous
@@ -132,7 +142,11 @@ final class Worker(store: JobStore, handlers: Map[String, Handler],
         try while (running.get()) { body(); Thread.sleep(sleepMs) }
         catch {
           case _: InterruptedException => ()
-          case e: Throwable => running.set(false); throw e
+          case e: Throwable =>
+            running.set(false)
+            fatal.compareAndSet(None, Some(e))
+            onFatal(e)
+            throw e
         }
       }, s"graft-worker-$name")
       t.setDaemon(true); t.start(); t
@@ -150,5 +164,24 @@ final class Worker(store: JobStore, handlers: Map[String, Handler],
     running.set(false)
     threads.foreach(_.interrupt())
     threads.foreach(_.join(2000))
+  }
+}
+
+object Worker {
+
+  /** Default fatal-error mode for an embedded library worker: the loops
+    * stop, the error is retained on [[Worker.fatalError]], and the host
+    * process keeps running — the embedder decides whether to respawn. */
+  val stopOnly: Throwable => Unit = _ => ()
+
+  /** The reference's crash-only production mode (errors.clj:83-92
+    * `->fatal-ex-handler`): log the irrecoverable framework error and exit
+    * the process, relying on an external supervisor to respawn (the
+    * reference ships an upstart unit with `respawn limit 5 300`,
+    * examples/upstart/overseer.conf:11-12; see README "Supervision").
+    * Opt in by passing as the Worker's `onFatal`. */
+  val exitProcess: Throwable => Unit = { e =>
+    System.err.println(s"[graft-worker] fatal framework error, exiting process: $e")
+    System.exit(1)
   }
 }
