@@ -40,6 +40,26 @@ object Reshape {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'"""))
 
+  /** Stratified training-mix sampling: per-language keep rates applied with
+    * the same deterministic md5 gate as q44 — the standard rebalancing step
+    * before corpus assembly (downsample the dominant language, keep the
+    * tail). en keeps 4/16, zh/es 8/16, everything else all — and because
+    * the gate is a pure hash of the row key, the sample is reproducible
+    * across engines, runs, AND partitionings: a pure filter pushed at the
+    * scan, no shuffle, no rand(). */
+  val q77StratifiedSample: QueryDef = QueryDef(
+    "q77_stratified_sample",
+    (s, dir) => Tables(s, dir).documents
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int") <
+          when(col("lang") === "en", lit(4))
+            .when(col("lang").isin("zh", "es"), lit(8))
+            .otherwise(lit(16)))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::INT <
+        CASE WHEN lang = 'en' THEN 4 WHEN lang IN ('zh', 'es') THEN 8 ELSE 16 END"""))
+
   /** Keep-latest-per-key dedup (window row_number): each user's most recent
     * event — the event-sourced "current state" view (SURVEY.md §7: FSM
     * snapshot = last transition per job id). */
@@ -97,5 +117,5 @@ object Reshape {
       FROM part"""))
 
   val all: Seq[QueryDef] = Seq(q43Pivot, q44HashSample, q45LatestPerKey,
-    q46EditDistance, q47RegexExtract)
+    q46EditDistance, q47RegexExtract, q77StratifiedSample)
 }

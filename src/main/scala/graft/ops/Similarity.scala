@@ -261,6 +261,101 @@ object Similarity {
       SELECT ib AS dup_id, MIN(ia) AS keeper_id, COUNT(*) AS n_links, MAX(cos) AS best_cos
       FROM scored WHERE cos > 0.4 GROUP BY 1"""))
 
+  /** IVF-bucketed ANN — the inverted-file counterpart of q31's LSH path:
+    * the corpus is partitioned into cells by nearest coarse centroid, and
+    * each query searches only its `nprobe` nearest cells.
+    *
+    * Seeds are the vectors with vec_id < 8 (deterministic "trained"
+    * centroids — model parameters, like q31's plane matrix), read
+    * driver-side from parquet records with no Spark job. Cell assignment
+    * is a single PROJECTION: cosine to each of the 8 literal seed vectors
+    * via the codegen'd VectorDot, argmax by `array_max` over
+    * (cos, −seed_id) structs — no join, no shuffle, ties to the smaller
+    * seed. Queries probe their top-2 cells; candidates come from a cell
+    * EQUI-join shuffling (id, cell) pairs only; the exact rescore + top-k
+    * touches candidates alone (~nprobe/nCells of the corpus per query).
+    * The DuckDB oracle replicates the full pipeline — assignment,
+    * probing, rescore, ranking — so the driver gate checks it end to end;
+    * SimilaritySpec measures recall vs q30's exact top-k. At 100 TB the
+    * cell count grows with the corpus and the argmax projection stays
+    * embarrassingly parallel; only (id, cell) rows ever shuffle. */
+  val q75IvfAnn: QueryDef = QueryDef(
+    "q75_ivf_ann",
+    (s, dir) => {
+      val nSeeds = 8
+      val nProbe = 2
+      val emb = Tables(s, dir).embeddings
+      val seeds = Tables.seedVectors(dir, nSeeds)
+      // (cos to seed, -seed_id) structs; max = best cell, ties → smaller id
+      def seedScores(v: Column): Column = array(seeds.map { case (sid, vec) =>
+        struct(cosine(v, typedlit(vec)).as("cos"), lit(-sid).as("nsid"))
+      }: _*)
+      val cells = emb
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("neighbor_id"),
+                (-array_max(seedScores(col("embedding"))).getField("nsid")).as("cell"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+                explode(slice(sort_array(seedScores(col("embedding")), asc = false), 1, nProbe))
+                  .as("sc"))
+        .select(col("query_id"), (-col("sc.nsid")).as("cell"))
+      // a neighbor lives in exactly one cell, so the probe join cannot
+      // duplicate a (query, neighbor) pair — no distinct needed
+      val cand = probes.join(cells, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      val qVec = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val cVec = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      cand
+        .join(broadcast(qVec), Seq("query_id"))
+        .join(cVec, Seq("neighbor_id"))
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    },
+    Some("""WITH seeds AS (
+        SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings WHERE vec_id < 8),
+      cos_all AS (
+        SELECT e.vec_id, s.seed_id,
+          list_sum(list_transform(list_zip(e.embedding, s.s_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform(s.s_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        FROM embeddings e CROSS JOIN seeds s),
+      cells AS (
+        SELECT vec_id AS neighbor_id, seed_id AS cell FROM (
+          SELECT vec_id, seed_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+          FROM cos_all) t WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, seed_id AS cell FROM (
+          SELECT vec_id, seed_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+          FROM cos_all WHERE vec_id < 5) t WHERE rn <= 2),
+      cand AS (
+        SELECT p.query_id, c.neighbor_id
+        FROM probes p JOIN cells c ON p.cell = c.cell
+        WHERE c.neighbor_id <> p.query_id),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        FROM cand cd
+        JOIN embeddings a ON a.vec_id = cd.query_id
+        JOIN embeddings b ON b.vec_id = cd.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10"""))
+
   val all: Seq[QueryDef] =
-    Seq(q30CosineKnn, q31LshAnn, q55EmbeddingDedup, q74BandedEmbeddingDedup)
+    Seq(q30CosineKnn, q31LshAnn, q55EmbeddingDedup, q74BandedEmbeddingDedup, q75IvfAnn)
 }

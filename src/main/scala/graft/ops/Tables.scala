@@ -33,23 +33,60 @@ object Tables {
     * Memoized per path: repeated bench/verify invocations pay once. */
   def embeddingDim(dir: String, column: String = "embedding"): Int =
     dimCache.computeIfAbsent(s"$dir#$column", _ => {
-      val root = new java.io.File(s"$dir/embeddings.parquet")
-      val file =
-        if (root.isFile) root
-        else root.listFiles()
-          .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
-          .minBy(_.getName)
-      val reader = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-                 new org.apache.hadoop.fs.Path(file.getAbsolutePath))
-        .build()
-      try {
+      withEmbeddingReader(dir) { reader =>
         val rec = reader.read()
-        require(rec != null, s"empty parquet file $file")
+        require(rec != null, s"empty embeddings table under $dir")
         // list physical layout: optional group <column> (LIST) {
         //   repeated group list { <element> } } — the repetition count of
         // the single repeated field IS the array length
         rec.getGroup(column, 0).getFieldRepetitionCount(0)
-      } finally reader.close()
+      }
     })
+
+  /** The IVF seed set: embedding vectors with vec_id < n, read driver-side
+    * the same way as [[embeddingDim]] — coarse centroids are model
+    * parameters the driver must hold anyway (like the LSH plane matrix),
+    * and a record-level read costs no Spark job. Scans records until all n
+    * seeds are found. */
+  def seedVectors(dir: String, n: Int): Seq[(Long, Seq[Float])] = {
+    val found = scala.collection.mutable.SortedMap.empty[Long, Seq[Float]]
+    val files = embeddingFiles(dir).iterator
+    while (found.size < n && files.hasNext) {
+      withReader(files.next()) { reader =>
+        var rec = reader.read()
+        while (rec != null && found.size < n) {
+          val id = rec.getLong("vec_id", 0)
+          if (id < n) {
+            val list = rec.getGroup("embedding", 0)
+            val dim = list.getFieldRepetitionCount(0)
+            found(id) = (0 until dim).map(i => list.getGroup(0, i).getFloat(0, 0))
+          }
+          rec = reader.read()
+        }
+      }
+    }
+    require(found.size == n, s"found only ${found.size}/$n seed vectors under $dir")
+    found.toSeq
+  }
+
+  private def embeddingFiles(dir: String): Seq[java.io.File] = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    if (root.isFile) Seq(root)
+    else root.listFiles()
+      .filter(x => x.getName.endsWith(".parquet") && x.length() > 0)
+      .sortBy(_.getName).toSeq
+  }
+
+  private def withEmbeddingReader[A](dir: String)(
+      f: org.apache.parquet.hadoop.ParquetReader[org.apache.parquet.example.data.Group] => A): A =
+    withReader(embeddingFiles(dir).head)(f)
+
+  private def withReader[A](file: java.io.File)(
+      f: org.apache.parquet.hadoop.ParquetReader[org.apache.parquet.example.data.Group] => A): A = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+               new org.apache.hadoop.fs.Path(file.getAbsolutePath))
+      .build()
+    try f(reader) finally reader.close()
+  }
 }

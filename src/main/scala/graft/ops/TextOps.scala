@@ -112,5 +112,44 @@ object TextOps {
       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
       FROM documents"""))
 
-  val all: Seq[QueryDef] = Seq(q22TokenStats, q23TextQuality, q24LangId, q25Fingerprint)
+  /** Repetition / boilerplate signals — the Gopher-style within-document
+    * quality gates: duplicate-trigram ratio (templated or machine-looped
+    * text repeats its n-grams) and top-token share (a single token
+    * dominating the document). Pure per-row projections over the token
+    * array — zero shuffle, embarrassingly parallel at any corpus size; a
+    * training-data pipeline filters on these before any pairwise dedup
+    * gets to run. Trigram strings (not hashes) keep the DuckDB oracle
+    * bit-exact; the per-doc top-token scan is O(distinct·n) on short
+    * arrays, still inside the projection. */
+  val q76Repetition: QueryDef = QueryDef(
+    "q76_repetition",
+    (s, dir) => Tables(s, dir).documents
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("tris", expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("tris"))).cast("double") / size(col("tris")))
+          .as("dup_trigram_ratio"),
+        (array_max(expr("transform(array_distinct(toks), t -> size(filter(toks, x -> x = t)))"))
+          .cast("double") / size(col("toks"))).as("top_token_share")),
+    Some("""WITH t AS (
+        SELECT doc_id, lang, regexp_extract_all(lower(text), '\w+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, lang, toks,
+          list_transform(range(0, len(toks) - 2),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS tris
+        FROM t WHERE len(toks) >= 3)
+      SELECT doc_id, lang,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) AS dup_trigram_ratio,
+        CAST(list_max(list_transform(list_distinct(toks),
+          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks) AS top_token_share
+      FROM g"""))
+
+  val all: Seq[QueryDef] = Seq(q22TokenStats, q23TextQuality, q24LangId, q25Fingerprint,
+    q76Repetition)
 }

@@ -86,6 +86,28 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("ivf ann: exact cosines, contiguous ranks, recall@10 floor vs brute force") {
+    val ivf = Similarity.q75IvfAnn.fn(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.q30CosineKnn.fn(spark, sfDir)
+      .select("query_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // rescore is exact: any overlap with the brute-force top-k agrees bitwise
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-12))
+      assert(r.getLong(0) != r.getLong(1))
+    }
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.size).toSeq)
+    }
+    // nprobe=2 of 8 cells scans ~25% of the corpus; recall@10 is the
+    // cell structure's — floor it rather than pretend it's exact
+    val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@10 $recall")
+  }
+
   test("banded embedding dedup: precision 1 vs the exact baseline, recall floor holds") {
     // q74 = q55's scoring+reduction over LSH candidates: every output row
     // must be a true near-dup (exact rescoring ⇒ precision 1), with
