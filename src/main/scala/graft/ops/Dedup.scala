@@ -198,5 +198,104 @@ object Dedup {
         (sig >> 48) & 65535 AS band3
       FROM sigs"""))
 
-  val all: Seq[QueryDef] = Seq(q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash)
+  /** Benchmark decontamination — the train/eval n-gram overlap check every
+    * LLM corpus build runs before training: any training document sharing a
+    * trigram with the held-out set is flagged with its contamination ratio.
+    * The eval side of the join is a benchmark — tiny at any corpus scale —
+    * so it broadcasts and the training corpus NEVER shuffles its shingles:
+    * explode → broadcast-hash semi-join on an 8-byte md5-derived hash →
+    * per-doc partial count. Trigram hashes use [[graft.functions
+    * .VectorFunctions.md5Long]] (q29's construction) so the DuckDB oracle
+    * rebuilds them bit-for-bit; "eval" here is the deterministic 1% slice
+    * doc_id % 100 == 0. */
+  val q78Decontamination: QueryDef = QueryDef(
+    "q78_decontamination",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.md5Long
+      val withTris = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("tris", array_distinct(transform(
+          expr("transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"),
+          t => md5Long(t))))
+      val evalSet = withTris.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("tris")).as("h")).distinct()
+      val train = withTris.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), size(col("tris")).cast("long").as("n_shingles"),
+                explode(col("tris")).as("h"))
+      train.join(broadcast(evalSet), Seq("h"))
+        .groupBy(col("doc_id"), col("n_shingles"))
+        // tris are distinct per doc, so plain count = distinct hit count
+        .agg(count(lit(1)).as("n_hit"))
+        .withColumn("contam_ratio", col("n_hit").cast("double") / col("n_shingles"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"), col("contam_ratio"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, list_distinct(list_transform(range(0, len(toks) - 2),
+          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS tris
+        FROM t WHERE len(toks) >= 3),
+      u AS (SELECT doc_id, len(tris) AS n_shingles, UNNEST(tris) AS s FROM g),
+      hh AS (
+        SELECT doc_id, n_shingles,
+          (('0x' || substr(md5(s), 1, 8))::BIGINT
+             - CASE WHEN ('0x' || substr(md5(s), 1, 8))::BIGINT >= 2147483648
+                    THEN 4294967296 ELSE 0 END) * 4294967296
+          + ('0x' || substr(md5(s), 9, 8))::BIGINT AS h
+        FROM u),
+      ev AS (SELECT DISTINCT h FROM hh WHERE doc_id % 100 = 0),
+      tr AS (SELECT * FROM hh WHERE doc_id % 100 <> 0)
+      SELECT tr.doc_id, tr.n_shingles, COUNT(*) AS n_hit,
+        CAST(COUNT(*) AS DOUBLE) / tr.n_shingles AS contam_ratio
+      FROM tr JOIN ev USING (h)
+      GROUP BY 1, 2"""))
+
+  /** Near-dup CLUSTER resolution — the step after pair generation that
+    * "keep the smallest id per pair" cannot express: transitively linked
+    * docs (A~B, B~C) collapse into one cluster even when A and C never
+    * pair directly. Edges are q28's exactly-verified MinHash-LSH pairs;
+    * components come from [[GraphOps.connectedComponents]] min-label
+    * propagation (O(diameter) rounds, (id, label) shuffles only). Output:
+    * every clustered doc with its cluster representative (min doc id in
+    * the component) and the cluster size — dedup then keeps rows where
+    * doc_id = cluster_id. The DuckDB oracle recomputes the brute-force
+    * pair set (≡ q28's output, proven by its own gate) and clusters it
+    * with a recursive reachability query. */
+  val q79DupClusters: QueryDef = QueryDef(
+    "q79_dup_clusters",
+    (s, dir) => {
+      val pairs = q28MinhashLsh.fn(s, dir).select(col("id_a"), col("id_b"))
+      val labels = GraphOps.connectedComponents(s, pairs)
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("label"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+                col("cluster_size"))
+    },
+    Some("""WITH RECURSIVE t AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '\w+') AS toks
+        FROM documents),
+      s AS (SELECT doc_id,
+          list_transform(range(1, len(toks)-1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        FROM t WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS r FROM e
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+      cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+      SELECT id AS doc_id, cluster_id,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cl"""))
+
+  val all: Seq[QueryDef] = Seq(q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash,
+    q78Decontamination, q79DupClusters)
 }

@@ -172,6 +172,36 @@ object GraphOps {
     visited
   }
 
+  /** Connected components over an undirected edge set by min-label
+    * propagation: every node starts labeled with its own id; each round a
+    * node takes the min of its label and its neighbors' labels; fixpoint
+    * when no label changes. Converges in O(component diameter) rounds —
+    * for dup-cluster resolution (the intended use, [[Dedup
+    * .q79DupClusters]]) diameters are tiny. Each round is ONE equi-join +
+    * hash agg, shuffling (id, label) longs only; every per-round frame is
+    * localCheckpoint()ed (same Catalyst-growth reason as [[closureRounds]])
+    * and the only driver value is the converged? count. Returns
+    * (id, label) with label = min node id in the component. */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = und.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(viaNbr)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
   /** Transitive closure demo on real data: the implicit binary tree
     * child → child div 2 over part keys; descendants of node 1 with BFS
     * depth. Oracle: DuckDB WITH RECURSIVE. */

@@ -55,4 +55,22 @@ class GraphOpsSpec extends SparkTestBase {
     assert(byDepth.values.sum == (n - 1).toLong)
     assert(byDepth.keys.max == 19L)
   }
+
+  test("connected components: chain, cycle, and disjoint pieces resolve to min ids") {
+    import spark.implicits._
+    // a 3-chain, an isolated pair, a triangle given as a cycle, and a
+    // 16-node path (forces multi-round label propagation: min travels one
+    // hop per round)
+    val path = (100L until 115L).map(i => (i, i + 1))
+    val edges = (Seq((1L, 2L), (2L, 3L), (10L, 11L),
+                     (20L, 21L), (21L, 22L), (22L, 20L)) ++ path)
+      .toDF("id_a", "id_b")
+    val cc = GraphOps.connectedComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert((100L to 115L).forall(cc(_) == 100L))
+    assert(cc.size == 3 + 2 + 3 + 16)
+  }
 }
