@@ -11,7 +11,7 @@ object SparkEntry {
     Relational.all ++ EventOps.all ++ GraphOps.all ++ TextOps.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ SchedulerQueries.all ++
       Analytics.all ++ Joins.all ++ Reshape.all ++ Subqueries.all ++
-      Pipelines.all ++ CorpusOps.all ++ ReportingOps.all
+      Pipelines.all ++ CorpusOps.all ++ ReportingOps.all ++ TrainingOps.all
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
     * (ingest → {enrich, corpus} → report), schedule it through the

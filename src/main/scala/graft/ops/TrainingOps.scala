@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third wave of LLM-training-corpus operators: the iterative Lloyd k-means
+  * loop (E+M steps as pure DataFrame algebra), ordered event funnels,
+  * fixed-token-budget sequence packing, quantile-based quality gating,
+  * per-source frequency capping, and denylist (canary-string) scrubbing.
+  * All `functions._` column expressions — no UDFs — each with an exact
+  * DuckDB oracle.
+  *
+  * The reference delegates all handler computation to user code
+  * (/root/reference/src/overseer/executor.clj:12-39); these are the corpus-
+  * preparation handlers a training pipeline runs, per the north star.
+  */
+object TrainingOps {
+
+  /** Full Lloyd k-means over the embeddings table: k=8 seed centroids taken
+    * from the first k vectors (deterministic, oracle-replicable), then two
+    * complete E-step/M-step rounds, final assignment reported per vector.
+    *
+    * Spark shape per iteration: one broadcast join of the (k×dim)-row
+    * centroid table against the exploded vectors, one hash aggregate for
+    * the distances, one per-vector window argmin, one hash aggregate for
+    * the new means. Vectors never shuffle whole — only (vec_id, dim, v)
+    * triples keyed by dim/vec_id — and the centroid side is always tiny,
+    * so every join broadcasts. At 100 TB the same plan holds: centroids
+    * are model parameters (k×dim doubles), the corpus side is scanned
+    * once per iteration with map-side partial aggregation.
+    *
+    * Distances are rounded to 6 dp and centroid means to 9 dp before any
+    * comparison so double summation order (Spark partitionings vs DuckDB)
+    * cannot flip an argmin — same parity scheme as q62. */
+  val q80KmeansLloyd: QueryDef = QueryDef(
+    "q80_kmeans_lloyd",
+    (s, dir) => {
+      val k = 8
+      val emb = Tables(s, dir).embeddings
+      // (vec_id, dim, v) triples; checkpointed once — it feeds two scans
+      // per iteration and recomputing the explode 6× buys nothing.
+      val flat = emb
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+        .localCheckpoint()
+      val labels = emb.select(col("vec_id"), col("label"))
+
+      def eStep(cent: DataFrame): DataFrame = {
+        val d = flat.join(broadcast(cent), Seq("dim"))
+          .groupBy(col("vec_id"), col("c"))
+          .agg(round(sum(pow(col("v") - col("cv"), 2)), 6).as("d2"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("c").asc)
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("c"))
+      }
+      def mStep(assign: DataFrame): DataFrame =
+        flat.join(assign, Seq("vec_id"))
+          .groupBy(col("c"), col("dim"))
+          .agg(round(avg(col("v")), 9).as("cv"))
+
+      val c0 = flat.filter(col("vec_id") < k)
+        .select(col("vec_id").as("c"), col("dim"), col("v").as("cv"))
+      val a0 = eStep(c0)
+      val a1 = eStep(mStep(a0))
+      val a2 = eStep(mStep(a1))
+      a2.join(labels, Seq("vec_id"))
+        .select(col("vec_id"), col("label").as("true_label"),
+                col("c").cast("long").as("cluster"))
+    },
+    Some("""WITH flat AS (SELECT vec_id, t.gs - 1 AS dim,
+          CAST(embedding[t.gs] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(gs)),
+      c0 AS (SELECT vec_id AS c, dim, v AS cv FROM flat WHERE vec_id < 8),
+      d0 AS (SELECT f.vec_id, c.c, round(SUM((f.v-c.cv)*(f.v-c.cv)), 6) AS d2
+        FROM flat f JOIN c0 c USING (dim) GROUP BY 1, 2),
+      a0 AS (SELECT vec_id, c FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d0) WHERE rn = 1),
+      c1 AS (SELECT a.c, f.dim, round(avg(f.v), 9) AS cv
+        FROM flat f JOIN a0 a USING (vec_id) GROUP BY 1, 2),
+      d1 AS (SELECT f.vec_id, c.c, round(SUM((f.v-c.cv)*(f.v-c.cv)), 6) AS d2
+        FROM flat f JOIN c1 c USING (dim) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, c FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d1) WHERE rn = 1),
+      c2 AS (SELECT a.c, f.dim, round(avg(f.v), 9) AS cv
+        FROM flat f JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      d2s AS (SELECT f.vec_id, c.c, round(SUM((f.v-c.cv)*(f.v-c.cv)), 6) AS d2
+        FROM flat f JOIN c2 c USING (dim) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, c FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d2s) WHERE rn = 1)
+      SELECT a.vec_id, e.label AS true_label, CAST(a.c AS BIGINT) AS cluster
+      FROM a2 a JOIN embeddings e USING (vec_id)"""))
+
+  /** Ordered conversion funnel over the event stream: first view, then the
+    * first click strictly after it, then the first purchase strictly after
+    * that. Each stage is a filtered min-aggregate joined forward — three
+    * hash aggregates and two equi-joins on user_id, no window over the raw
+    * events and no per-user state, so the plan is a straight shuffle
+    * pipeline at any scale. Timestamps surface as epoch microseconds. */
+  val q81EventFunnel: QueryDef = QueryDef(
+    "q81_event_funnel",
+    (s, dir) => {
+      val e = EventOps.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id"), col("t_view"), col("t_click"))
+        .agg(min(col("ts")).as("t_purchase"))
+      p.select(col("user_id"),
+        unix_micros(col("t_view")).as("t_view_us"),
+        unix_micros(col("t_click")).as("t_click_us"),
+        unix_micros(col("t_purchase")).as("t_purchase_us"))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1, 2),
+      p AS (SELECT e.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1, 2, 3)
+      SELECT user_id, epoch_us(t_view) AS t_view_us,
+        epoch_us(t_click) AS t_click_us, epoch_us(t_purchase) AS t_purchase_us
+      FROM p"""))
+
+  /** Sequence packing: assign documents (in deterministic doc_id order,
+    * per language) to fixed token-budget packs — the batch-construction
+    * step before pretraining. A document starting at running offset o goes
+    * to pack o div budget; one window cumsum plus integer math, then a
+    * hash aggregate per pack. The window partitions by language, so at
+    * scale each language packs independently (and a production run would
+    * sub-shard the key; the algebra is unchanged). */
+  val q82SequencePacking: QueryDef = QueryDef(
+    "q82_sequence_packing",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).documents
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+    },
+    Some("""WITH t AS (SELECT lang, doc_id,
+          CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (SELECT lang, n_tok, SUM(n_tok) OVER (
+          PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+      SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+      FROM c GROUP BY 1, 2"""))
+
+  /** Quantile-based quality gate: type-token ratio per document, keep the
+    * top half per language by exact percent_rank. Unlike q37's sketched
+    * percentiles this is the exact windowed form — the gate a curation
+    * pipeline runs when the quality budget is a fixed fraction, not a
+    * fixed threshold. */
+  val q83QualityGate: QueryDef = QueryDef(
+    "q83_quality_gate",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("ttr", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double"), 9))
+      val w = Window.partitionBy(col("lang")).orderBy(col("ttr").desc)
+      d.withColumn("pr", round(percent_rank().over(w), 9))
+        .filter(col("pr") <= 0.5)
+        .select(col("doc_id"), col("lang"), col("ttr"), col("pr"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+          regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+      s AS (SELECT doc_id, lang, round(
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 9) AS ttr
+        FROM t WHERE len(toks) > 0),
+      r AS (SELECT *, round(PERCENT_RANK() OVER (
+          PARTITION BY lang ORDER BY ttr DESC), 9) AS pr FROM s)
+      SELECT doc_id, lang, ttr, pr FROM r WHERE pr <= 0.5"""))
+
+  /** Per-source frequency cap: keep at most 10 documents per
+    * (lang, source), chosen in deterministic hash order (md5 of the text,
+    * doc_id tiebreak) — the anti-domination pass that stops one crawl
+    * domain from flooding the mix. Hash order means the survivors are an
+    * unbiased sample without a separate shuffle or RNG state. */
+  val q84SourceCap: QueryDef = QueryDef(
+    "q84_source_cap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("text")).asc, col("doc_id").asc)
+      Tables(s, dir).documents
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("lang"), col("source"), col("rn"))
+    },
+    Some("""SELECT doc_id, lang, source, rn FROM (
+        SELECT doc_id, lang, source, CAST(ROW_NUMBER() OVER (
+            PARTITION BY lang, source ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+        FROM documents) WHERE rn <= 10"""))
+
+  /** Denylist scrubbing: replace denylisted terms (canary strings,
+    * benchmark markers, blocked vocabulary) with a redaction token and
+    * report per-document hit counts — a pure per-row projection, no
+    * shuffle at all. The scrubbed text is surfaced as an md5 so the oracle
+    * compares content without hauling full text through the diff. */
+  val q85DenylistScrub: QueryDef = QueryDef(
+    "q85_denylist_scrub",
+    (s, dir) => {
+      val pat = "\\b(customer|orders?|part|value)\\b"
+      Tables(s, dir).documents
+        .withColumn("scrubbed", regexp_replace(col("text"), pat, "[X]"))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_hits"),
+          md5(col("scrubbed")).as("scrub_md5"),
+          length(col("scrubbed")).cast("long").as("n_chars_scrubbed"))
+    },
+    Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '\b(customer|orders?|part|value)\b')) AS BIGINT) AS n_hits,
+        md5(regexp_replace(text, '\b(customer|orders?|part|value)\b', '[X]', 'g')) AS scrub_md5,
+        CAST(length(regexp_replace(text, '\b(customer|orders?|part|value)\b', '[X]', 'g')) AS BIGINT) AS n_chars_scrubbed
+      FROM documents"""))
+
+  val all: Seq[QueryDef] = Seq(q80KmeansLloyd, q81EventFunnel,
+    q82SequencePacking, q83QualityGate, q84SourceCap, q85DenylistScrub)
+}
