@@ -14,7 +14,8 @@ final case class GraftConfig(
     detectorSleepMs: Long = 2000L,   // config.clj:62-63
     sleepMs: Long = 10000L,          // config.clj:65-66
     heartbeatSleepMs: Long = 60000L, // config.clj:68-69
-    heartbeatTolerance: Int = 5) {   // config.clj:71-72
+    heartbeatTolerance: Int = 5,     // config.clj:71-72
+    sentryDsn: Option[String] = None) { // config.clj:20-21 `:sentry {:dsn}`
 
   def workerConfig: WorkerConfig = WorkerConfig(
     detectorSleepMs = detectorSleepMs,
@@ -61,7 +62,8 @@ object GraftConfig {
       detectorSleepMs = long(m, "detector-sleep-time", 2000L),
       sleepMs = long(m, "sleep-time", 10000L),
       heartbeatSleepMs = long(hb, "sleep-time", 60000L),
-      heartbeatTolerance = long(hb, "tolerance", 5L).toInt)
+      heartbeatTolerance = long(hb, "tolerance", 5L).toInt,
+      sentryDsn = sub("sentry").get("dsn").map(_.toString))
   }
 }
 
@@ -104,11 +106,15 @@ object Graft {
     * config map, coordination purely through the shared store. `onFatal`
     * picks the supervision mode — [[Worker.stopOnly]] (embedded default)
     * or [[Worker.exitProcess]] (the reference's crash-only service mode,
-    * errors.clj:83-92). */
+    * errors.clj:83-92). An explicit `reporter` wins; otherwise a configured
+    * `sentry.dsn` builds one via [[Reporter.forDsn]] (the reference's error
+    * sink comes from config the same way, errors.clj:90-98). */
   def start(config: GraftConfig, store: JobStore, handlers: Map[String, Handler],
             reporter: Option[Reporter] = None,
-            onFatal: Throwable => Unit = Worker.stopOnly): Worker =
-    new Worker(store, handlers, config.workerConfig, reporter, onFatal).start()
+            onFatal: Throwable => Unit = Worker.stopOnly): Worker = {
+    val sink = reporter.orElse(config.sentryDsn.map(Reporter.forDsn))
+    new Worker(store, handlers, config.workerConfig, sink, onFatal).start()
+  }
 
   /** api.clj:50-79 graph constructors. */
   def jobGraph(adjacency: Map[String, Seq[String]], args: Option[String] = None): JobGraph =

@@ -31,11 +31,50 @@ import scala.collection.mutable
   */
 final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
 
-  private val conn: Connection = DriverManager.getConnection(url)
-  conn.setAutoCommit(true)
+  private def open(): Connection = {
+    val c = DriverManager.getConnection(url)
+    c.setAutoCommit(true)
+    c
+  }
+
+  private var conn: Connection = open()
+  @volatile private var closed = false
   // JDBC connections are not thread-safe; serialize statements on this
   // instance. Cross-instance races are resolved by the database CAS.
   private val lock = new Object
+
+  /** SQLState class 08 = connection exception (08000 "closed by unknown
+    * interrupt" is what embedded Derby raises when a thread interrupt lands
+    * mid-statement; 08003 "no current connection" is every later statement
+    * on that connection). Recoverable by reopening: autocommit single
+    * statements mean no transaction state is lost. */
+  private def connectionDead(e: SQLException): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      t match {
+        case s: SQLException if Option(s.getSQLState).exists(_.startsWith("08")) => return true
+        case _ => ()
+      }
+      t = t.getCause
+    }
+    false
+  }
+
+  /** Run `body` against a live connection, reopening once (belt-and-braces
+    * alongside Worker's no-interrupt cooperative stop) if the connection was
+    * killed out from under us. Must be called with `lock` held. */
+  private def withConn[A](body: Connection => A): A = {
+    if (closed) throw new SQLException("store closed", "08003")
+    val c = try { if (conn.isClosed) { conn = open() }; conn }
+            catch { case _: SQLException => conn = open(); conn }
+    try body(c)
+    catch {
+      case e: SQLException if connectionDead(e) && !closed =>
+        try conn.close() catch { case _: SQLException => () }
+        conn = open()
+        body(conn)
+    }
+  }
 
   private def now: Long = System.currentTimeMillis() / 1000L
 
@@ -60,19 +99,23 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
 
   private def query[A](sql: String, binds: Seq[Any] = Nil)(read: ResultSet => A): Vector[A] =
     lock.synchronized {
-      val ps = conn.prepareStatement(sql)
-      try {
-        bind(ps, binds)
-        val rs = ps.executeQuery()
-        val out = Vector.newBuilder[A]
-        while (rs.next()) out += read(rs)
-        out.result()
-      } finally ps.close()
+      withConn { c =>
+        val ps = c.prepareStatement(sql)
+        try {
+          bind(ps, binds)
+          val rs = ps.executeQuery()
+          val out = Vector.newBuilder[A]
+          while (rs.next()) out += read(rs)
+          out.result()
+        } finally ps.close()
+      }
     }
 
   private def exec(sql: String, binds: Seq[Any] = Nil): Int = lock.synchronized {
-    val ps = conn.prepareStatement(sql)
-    try { bind(ps, binds); ps.executeUpdate() } finally ps.close()
+    withConn { c =>
+      val ps = c.prepareStatement(sql)
+      try { bind(ps, binds); ps.executeUpdate() } finally ps.close()
+    }
   }
 
   private def bind(ps: PreparedStatement, binds: Seq[Any]): Unit =
@@ -89,8 +132,8 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
     * status code (Derby has no TINYINT), BIGINT unix-seconds timestamps to
     * match the Job model. Not idempotent, like the reference. */
   override def install(): String = lock.synchronized {
-    try {
-      val st = conn.createStatement()
+    try withConn { c =>
+      val st = c.createStatement()
       try {
         st.executeUpdate(
           """CREATE TABLE overseer_jobs (
@@ -113,7 +156,8 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
           "CREATE INDEX index_overseer_dependencies_on_dep_id ON overseer_dependencies (dep_id)")
       } finally st.close()
       ":ok"
-    } catch {
+    }
+    catch {
       // Derby X0Y32 = object already exists — surface as the suite's
       // "install is not idempotent" contract
       case e: SQLException if e.getSQLState == "X0Y32" =>
@@ -127,6 +171,7 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
   override def transactGraph(g: JobGraph): JobGraph = lock.synchronized {
     require(g.isValid, s"invalid graph: $g")
     val t = now
+    withConn { conn =>
     conn.setAutoCommit(false)
     try {
       val jobPs = conn.prepareStatement(
@@ -164,6 +209,7 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
       case e: Throwable =>
         conn.rollback(); throw e
     } finally conn.setAutoCommit(true)
+    }
   }
 
   override def jobInfo(id: String): Option[Job] =
@@ -177,7 +223,8 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
     jobInfo(id).filter(pred).flatMap { j =>
       val u = f(j).copy(id = j.id, lockVersion = j.lockVersion + 1, updatedAt = now)
       val n = lock.synchronized {
-        val ps = conn.prepareStatement(
+        withConn { c =>
+        val ps = c.prepareStatement(
           """UPDATE overseer_jobs
             |SET type = ?, args = ?, status = ?, failure = ?, heartbeat = ?,
             |    lock_version = ?, updated_at = ?
@@ -197,6 +244,7 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
           ps.setLong(9, j.lockVersion)
           ps.executeUpdate()
         } finally ps.close()
+        }
       }
       if (n == 1) Some(u) else None
     }
@@ -216,8 +264,13 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
     if (r.isEmpty) throw new IllegalStateException(s"fail-job: job $id not in started state")
   }
 
+  /** One unconditional UPDATE, exactly the reference's heartbeat
+    * (jdbc.clj:210-212) — liveness is not a CAS-worthy transition, and a
+    * single statement halves the round-trips of a read-then-CAS and can
+    * never be silently dropped on a version race. */
   override def heartbeatJob(id: String): Unit = {
-    updateJob(id, _ => true, _.copy(heartbeat = Some(now)))
+    exec("UPDATE overseer_jobs SET heartbeat = ?, updated_at = ? WHERE id = ?",
+      Seq(now, now, id))
     ()
   }
 
@@ -295,5 +348,5 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
   private def fetchFirst(limit: Int): String =
     if (limit == Int.MaxValue) "" else s"FETCH FIRST $limit ROWS ONLY"
 
-  override def close(): Unit = lock.synchronized(conn.close())
+  override def close(): Unit = lock.synchronized { closed = true; conn.close() }
 }

@@ -49,4 +49,35 @@ object Reporter {
     override def report(job: Job, e: Throwable, context: Map[String, Any]): Unit =
       reports.put(job.id, (e, context))
   }
+
+  /** Stderr sink — the zero-dependency default for a DSN-configured
+    * reporter (the reference ships failures to Sentry when the config
+    * carries `:sentry {:dsn}`, errors.clj:90-98; this library has no
+    * network deps, so the built-in scheme logs). */
+  final class Logging(dsn: String) extends Reporter {
+    override def report(job: Job, e: Throwable, context: Map[String, Any]): Unit =
+      System.err.println(s"[graft-reporter $dsn] job=${job.id} type=${job.jobType} error=$e context=$context")
+  }
+
+  // -- DSN dispatch ----------------------------------------------------------
+  // The reference builds its Sentry sink from the configured DSN string
+  // (config.clj:20-21 `sentry-dsn`, consumed by ->job-exception-handler,
+  // errors.clj:90-98). Here the DSN's URI scheme picks a registered factory
+  // so embedders can plug real backends (and tests a Recording sink)
+  // without the engine depending on any client library.
+
+  private val schemes = TrieMap[String, String => Reporter](
+    "log" -> (dsn => new Logging(dsn)))
+
+  /** Register a factory for a DSN scheme (e.g. `sentry` → a real client). */
+  def registerScheme(scheme: String, factory: String => Reporter): Unit =
+    schemes.put(scheme, factory)
+
+  /** Build a reporter from a configured DSN: dispatch on the URI scheme,
+    * falling back to the logging sink for unknown schemes (a misconfigured
+    * DSN should never make error reporting itself throw). */
+  def forDsn(dsn: String): Reporter = {
+    val scheme = dsn.takeWhile(_ != ':')
+    schemes.get(scheme).map(_(dsn)).getOrElse(new Logging(dsn))
+  }
 }

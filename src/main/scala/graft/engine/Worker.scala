@@ -132,6 +132,22 @@ final class Worker(store: JobStore, handlers: Map[String, Handler],
     ran.result()
   }
 
+  /** Sleep `ms` in ≤100 ms slices, returning early when `running` drops.
+    * Loops never block longer than a slice past stop() — and stop() never
+    * has to interrupt them, which matters because a thread interrupt landing
+    * inside a JDBC statement makes embedded Derby close the WHOLE shared
+    * connection (SQLState 08000 "Connection closed by unknown interrupt"),
+    * poisoning the store for every other loop and the embedder. The
+    * reference never interrupts either: its loops are futures that re-check
+    * a signal each iteration (worker.clj:24-36). */
+  private def slicedSleep(ms: Long): Unit = {
+    val deadline = System.nanoTime() + ms * 1000000L
+    while (running.get() && System.nanoTime() < deadline) {
+      val leftMs = (deadline - System.nanoTime()) / 1000000L
+      Thread.sleep(math.max(1L, math.min(100L, leftMs)))
+    }
+  }
+
   /** Spawn the four perpetual loops (worker.clj:24-50). Framework errors in
     * a loop are crash-only: they stop the worker (reference exits the
     * process and relies on a supervisor, errors.clj:83-92). */
@@ -139,7 +155,7 @@ final class Worker(store: JobStore, handlers: Map[String, Handler],
     require(running.compareAndSet(false, true), "worker already started")
     def loop(name: String, sleepMs: => Long)(body: () => Unit): Thread = {
       val t = new Thread(() => {
-        try while (running.get()) { body(); Thread.sleep(sleepMs) }
+        try while (running.get()) { body(); slicedSleep(sleepMs) }
         catch {
           case _: InterruptedException => ()
           case e: Throwable =>
@@ -160,10 +176,20 @@ final class Worker(store: JobStore, handlers: Map[String, Handler],
     this
   }
 
-  def stop(): Unit = {
+  /** Cooperative stop: drop the flag and join — NO thread interrupts (see
+    * [[slicedSleep]]; an interrupt mid-statement kills the shared embedded-
+    * Derby connection). Loops notice within ~100 ms; the join allows an
+    * in-flight handler to finalize. Interrupt only as a last resort for a
+    * loop still alive after the grace period (a wedged handler), accepting
+    * that a shared embedded connection may then need the store's
+    * reconnect-on-08xxx path. */
+  def stop(graceMs: Long = 5000L): Unit = {
     running.set(false)
-    threads.foreach(_.interrupt())
-    threads.foreach(_.join(2000))
+    val deadline = System.currentTimeMillis() + graceMs
+    threads.foreach(t => t.join(math.max(1L, deadline - System.currentTimeMillis())))
+    val stragglers = threads.filter(_.isAlive)
+    stragglers.foreach(_.interrupt())
+    stragglers.foreach(_.join(2000))
   }
 }
 

@@ -274,7 +274,13 @@ object Dedup {
   val q79DupClusters: QueryDef = QueryDef(
     "q79_dup_clusters",
     (s, dir) => {
+      // localCheckpoint the verified pairs: label propagation re-scans its
+      // edge set every round (O(diameter) actions), and without the cut each
+      // scan would recompute q28's whole tokenize→shingle→sign→band→verify
+      // pipeline from raw text (the q78/q57 shared-stage pattern; at 100 TB
+      // this is a persist of the tiny pair set vs re-reading the corpus)
       val pairs = q28MinhashLsh.fn(s, dir).select(col("id_a"), col("id_b"))
+        .localCheckpoint()
       val labels = GraphOps.connectedComponents(s, pairs)
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("label"))

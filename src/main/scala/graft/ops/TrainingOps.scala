@@ -49,7 +49,10 @@ object TrainingOps {
       def eStep(cent: DataFrame): DataFrame = {
         val d = flat.join(broadcast(cent), Seq("dim"))
           .groupBy(col("vec_id"), col("c"))
-          .agg(round(sum(pow(col("v") - col("cv"), 2)), 6).as("d2"))
+          // (v-cv)*(v-cv), not pow(...,2): Math.pow is only 1-ulp-accurate,
+          // and the oracle computes the product — identical arithmetic on
+          // both sides keeps the round(...,6) argmin bit-stable (as q62)
+          .agg(round(sum((col("v") - col("cv")) * (col("v") - col("cv"))), 6).as("d2"))
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("c").asc)
         d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("vec_id"), col("c"))
@@ -194,8 +197,11 @@ object TrainingOps {
   val q84SourceCap: QueryDef = QueryDef(
     "q84_source_cap",
     (s, dir) => {
+      // asc_nulls_first pins null ordering explicitly (Spark's ASC default;
+      // DuckDB windows default NULLS LAST) so a future nullable fixture
+      // can't silently diverge the survivor set between engines
       val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(md5(col("text")).asc, col("doc_id").asc)
+        .orderBy(md5(col("text")).asc_nulls_first, col("doc_id").asc_nulls_first)
       Tables(s, dir).documents
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 10)
@@ -203,7 +209,8 @@ object TrainingOps {
     },
     Some("""SELECT doc_id, lang, source, rn FROM (
         SELECT doc_id, lang, source, CAST(ROW_NUMBER() OVER (
-            PARTITION BY lang, source ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+            PARTITION BY lang, source
+            ORDER BY md5(text) NULLS FIRST, doc_id NULLS FIRST) AS BIGINT) AS rn
         FROM documents) WHERE rn <= 10"""))
 
   /** Denylist scrubbing: replace denylisted terms (canary strings,

@@ -89,6 +89,70 @@ class ConfigSpec extends AnyFunSuite {
     store.asInstanceOf[JdbcJobStore].close()
   }
 
+  test("stopping a config-built Derby worker 50x mid-drain never poisons the store " +
+       "(round-5 defect: interrupts killed the shared embedded connection, SQLState 08000/08003)") {
+    val cfg = GraftConfig.fromMap(Map(
+      "store" -> Map("adapter" -> "derby", "config" -> Map("url" -> derbyUrl())),
+      "detector-sleep-time" -> 1,
+      "sleep-time" -> 1))
+    val store = Graft.store(cfg)
+    store.install()
+    // 120 independent jobs so there is always a drain in progress to stop into
+    val jobs = (1 to 120).map(i => Job(Squuid(), "work"))
+    store.transactGraph(Graft.simpleGraph(jobs: _*))
+    val handlers = Map("work" -> Handler { _ => Thread.sleep(1); () })
+    for (i <- 1 to 50) {
+      val worker = Graft.start(cfg, store, handlers)
+      Thread.sleep(5) // land the stop inside live detector/executor queries
+      worker.stop()
+      assert(worker.fatalError.isEmpty, s"iteration $i: loop died: ${worker.fatalError}")
+      // the store must stay fully usable after every stop — this exact call
+      // failed with "No current connection" under the old interrupting stop
+      assert(store.snapshotJobs.size == 120, s"iteration $i: store poisoned")
+    }
+    // finish the drain to prove no job was lost or wedged by 50 stops
+    val finisher = Graft.start(cfg, store, handlers)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+             !store.snapshotJobs.forall(_.status == JobStatus.Finished)) Thread.sleep(20)
+    } finally finisher.stop()
+    assert(store.snapshotJobs.forall(_.status == JobStatus.Finished))
+    store.asInstanceOf[JdbcJobStore].close()
+  }
+
+  test("a config-built worker ships handler failures to the configured reporter " +
+       "(sentry.dsn -> Reporter.forDsn, config.clj:20-21 / errors.clj:90-98)") {
+    val recording = new Reporter.Recording
+    Reporter.registerScheme("recording", _ => recording)
+    val cfg = GraftConfig.fromMap(Map(
+      "store" -> Map("adapter" -> "derby", "config" -> Map("url" -> derbyUrl())),
+      "detector-sleep-time" -> 5,
+      "sleep-time" -> 5,
+      "sentry" -> Map("dsn" -> "recording://graft-test")))
+    assert(cfg.sentryDsn.contains("recording://graft-test"))
+    val store = Graft.store(cfg)
+    store.install()
+    val boomId = Squuid()
+    store.transactGraph(Graft.simpleGraph(Job(boomId, "boom")))
+    val handlers = Map("boom" -> Handler { _ => throw new RuntimeException("kaboom") })
+    val worker = Graft.start(cfg, store, handlers)
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline && recording.reports.isEmpty) Thread.sleep(10)
+    } finally worker.stop()
+    assert(recording.reports.contains(boomId), "failure never reached the configured sink")
+    val (err, ctx) = recording.reports(boomId)
+    assert(err.getMessage == "kaboom")
+    assert(ctx.get("job/type").contains("boom"))
+    assert(store.jobInfo(boomId).get.status == JobStatus.Failed)
+    store.asInstanceOf[JdbcJobStore].close()
+  }
+
+  test("unknown reporter DSN schemes fall back to the logging sink, never throw") {
+    assert(Reporter.forDsn("https://key@sentry.example/1").isInstanceOf[Reporter.Logging])
+  }
+
   test("validateGraphHandlers reports the missing types") {
     val adjacency = Map("a" -> Seq.empty[String], "b" -> Seq("a"))
     val handlers = Map("a" -> Handler(_ => ()))
