@@ -95,10 +95,11 @@ object Graft {
     adapter match {
       case "memory"                 => new InMemoryJobStore
       case "log"                    => new LogBackedJobStore(opt("dir", "log adapter requires a :dir"))
+      case "shared-log"             => new SharedLogJobStore(opt("dir", "shared-log adapter requires a :dir"))
       case a if jdbcAdapters(a)     => new JdbcJobStore(opt("url", "Valid JDBC adapter and config are required"))
       case other =>
         throw new IllegalArgumentException(
-          s"Unknown store adapter $other; expected one of memory, log, ${jdbcAdapters.toSeq.sorted.mkString(", ")}")
+          s"Unknown store adapter $other; expected one of memory, log, shared-log, ${jdbcAdapters.toSeq.sorted.mkString(", ")}")
     }
   }
 
