@@ -28,8 +28,13 @@ object Bench {
       val cand = new java.io.File(w, "sf0.001")
       if (cand.isDirectory) Some(cand.toString) else None
     }
+    // optional args: query names to bench (default all) — for re-measuring
+    // a single query without paying the full-suite run
+    val subset: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     warmDir.foreach { wd =>
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      subset.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, wd).count() } catch { case _: Throwable => () }
       }
     }
@@ -37,7 +42,7 @@ object Bench {
     // swing ±10-15% on scheduler/GC noise, and min-of-2 tracks the
     // steady-state throughput a long-running cluster job actually gets
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = subset.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
