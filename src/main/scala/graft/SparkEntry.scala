@@ -11,7 +11,8 @@ object SparkEntry {
     Relational.all ++ EventOps.all ++ GraphOps.all ++ TextOps.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ SchedulerQueries.all ++
       Analytics.all ++ Joins.all ++ Reshape.all ++ Subqueries.all ++
-      Pipelines.all ++ CorpusOps.all ++ ReportingOps.all ++ TrainingOps.all
+      Pipelines.all ++ CorpusOps.all ++ ReportingOps.all ++ TrainingOps.all ++
+      CurationOps.all
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
     * (ingest → {enrich, corpus} → report), schedule it through the
