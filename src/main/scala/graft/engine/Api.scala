@@ -65,6 +65,53 @@ object GraftConfig {
       heartbeatTolerance = long(hb, "tolerance", 5L).toInt,
       sentryDsn = sub("sentry").get("dsn").map(_.toString))
   }
+
+  /** Load the reference's config.yml shape directly (examples/config.yml:
+    * nested maps by indentation, scalar leaves, `#` comments). This is a
+    * deliberate YAML SUBSET — exactly the shape the reference documents,
+    * no anchors/lists/multi-line scalars — parsed without any dependency. */
+  def fromYaml(text: String): GraftConfig = fromMap(parseYamlMap(text))
+
+  def fromYamlFile(path: String): GraftConfig =
+    fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Indentation-structured `key: value` / `key:` blocks → nested maps.
+    * Values stay strings; [[fromMap]] already coerces numerics. */
+  private[engine] def parseYamlMap(text: String): Map[String, Any] = {
+    def stripComment(line: String): String =
+      if (line.trim.startsWith("#")) ""
+      else {
+        val i = line.indexOf(" #")
+        if (i >= 0) line.substring(0, i) else line
+      }
+    val lines = text.linesIterator.map(stripComment)
+      .filter(_.trim.nonEmpty).toVector
+    def indentOf(l: String): Int = l.indexWhere(_ != ' ')
+    def parse(start: Int, end: Int, indent: Int): Map[String, Any] = {
+      var i = start
+      val out = Map.newBuilder[String, Any]
+      while (i < end) {
+        val line = lines(i)
+        require(indentOf(line) == indent, s"unexpected indentation: '$line'")
+        val colon = line.indexOf(':')
+        require(colon > indent, s"expected 'key: value': '$line'")
+        val key = line.substring(indent, colon).trim
+        val value = line.substring(colon + 1).trim
+        if (value.nonEmpty) { out += key -> value; i += 1 }
+        else {
+          var j = i + 1
+          while (j < end && indentOf(lines(j)) > indent) j += 1
+          require(j > i + 1, s"empty block for key '$key'")
+          out += key -> parse(i + 1, j, indentOf(lines(i + 1)))
+          i = j
+        }
+      }
+      out.result()
+    }
+    if (lines.isEmpty) Map.empty
+    else parse(0, lines.size, indentOf(lines.head))
+  }
 }
 
 /** The user-facing facade — the reference's `overseer.api`
