@@ -217,6 +217,96 @@ object CurationOps {
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
       GROUP BY 1, 2"""))
 
+  /** BM25 retrieval scoring (Robertson/Spärck Jones; Lucene's non-negative
+    * idf form) of the whole corpus against a fixed query term set — the
+    * lexical-retrieval side of data curation (mining domain-relevant
+    * training docs by keyword query). k1 = 1.2, b = 0.75. Shape: tf from
+    * one hash agg filtered to the query terms BEFORE the shuffle (3-term
+    * semi-filter reaches the scan), df/avgdl are tiny aggregates that
+    * broadcast, per-doc score sums ≤ |query| doubles. ln + round(6) keeps
+    * cross-engine parity exactly as q56's TF-IDF does. */
+  val q91Bm25: QueryDef = QueryDef(
+    "q91_bm25",
+    (s, dir) => {
+      val terms = Seq("spark", "join", "window")
+      val k1 = 1.2
+      val b = 0.75
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .localCheckpoint() // feeds dl, N, df, and tf
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("part",
+          col("idf") * (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("part")), 6).as("bm25"), count(lit(1)).as("n_hit"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\w+')) AS token
+        FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN ('spark', 'join', 'window') GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+      SELECT tf.doc_id,
+        round(SUM(
+          ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+          * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS bm25,
+        CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+      GROUP BY 1"""))
+
+  /** Vocabulary coverage curve: the share of total token mass covered by
+    * the top-k most frequent tokens (k = 5/10/25) — the corpus
+    * statistic behind tokenizer-vocabulary sizing. One token hash agg, a
+    * rank + running-sum window over the (tiny) vocabulary frame, three
+    * probe rows out. Integer counts everywhere; the single division is
+    * identical on both engines. */
+  val q92VocabCoverage: QueryDef = QueryDef(
+    "q92_vocab_coverage",
+    (s, dir) => {
+      val counts = Tables(s, dir).documents
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("token").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.orderBy(col("n").desc, col("token").asc)
+      counts
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .filter(col("rank").isin(5L, 10L, 25L))
+        .select(col("rank").as("top_k"), col("cum").as("cum_tokens"),
+          col("total").as("total_tokens"),
+          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+    },
+    Some("""WITH counts AS (
+        SELECT token, COUNT(*) AS n FROM (
+          SELECT UNNEST(regexp_extract_all(lower(text), '\w+')) AS token
+          FROM documents) GROUP BY 1),
+      ranked AS (SELECT token, n,
+          CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+          CAST(SUM(n) OVER (ORDER BY n DESC, token
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(SUM(n) OVER () AS BIGINT) AS total
+        FROM counts)
+      SELECT rank AS top_k, cum AS cum_tokens, total AS total_tokens,
+        round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+      FROM ranked WHERE rank IN (5, 10, 25)"""))
+
   val all: Seq[QueryDef] = Seq(q86Winnowing, q87Int8Quant, q88ChunkDedup,
-    q89TemperatureMix, q90SourceOverlap)
+    q89TemperatureMix, q90SourceOverlap, q91Bm25, q92VocabCoverage)
 }

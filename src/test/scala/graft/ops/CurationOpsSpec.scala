@@ -81,6 +81,27 @@ class CurationOpsSpec extends SparkTestBase {
     assert(byP.last.getAs[Double]("w_temp") < byP.last.getAs[Double]("p_raw"))
   }
 
+  test("q91: BM25 scores are positive, bounded by sum of idfs, and rank term-dense docs first") {
+    val rows = CurationOps.q91Bm25.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("bm25") > 0.0))
+    assert(rows.forall(r => r.getAs[Long]("n_hit") >= 1 && r.getAs[Long]("n_hit") <= 3))
+    // saturation bound: each term's contribution < idf * (k1 + 1), and with
+    // this corpus' df ≈ N the idf is small — sanity-cap at ln(2)*2.2*3
+    assert(rows.forall(_.getAs[Double]("bm25") < 3 * 2.2 * math.log(2.0) + 1e-6))
+  }
+
+  test("q92: coverage curve is monotone in k and ends at a sane share of total") {
+    val rows = CurationOps.q92VocabCoverage.fn(spark, sfDir)
+      .orderBy(col("top_k")).collect()
+    assert(rows.map(_.getAs[Long]("top_k")).toSeq == Seq(5L, 10L, 25L))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.sameElements(cov.sorted), "coverage must be monotone in k")
+    assert(cov.last <= 1.0 && cov.head > 0.0)
+    val r = rows.head
+    assert(r.getAs[Long]("cum_tokens") <= r.getAs[Long]("total_tokens"))
+  }
+
   test("q90: overlap matrix is strictly-ordered pairs with positive counts") {
     val rows = CurationOps.q90SourceOverlap.fn(spark, sfDir).collect()
     assert(rows.forall(r => r.getAs[String]("src_a") < r.getAs[String]("src_b")))
