@@ -54,6 +54,12 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // drop this query's localCheckpoint blocks before the next one: the
+      // checkpointed RDDs of 90+ queries otherwise accumulate in the block
+      // manager and late-suite queries pay the GC bill (observed: q79
+      // 1.5 s in isolation vs 4.5 s late in a full run). Each query is an
+      // independent job at scale; timings should reflect that.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -42,6 +42,8 @@ object ScaleBench {
         (System.nanoTime() - t0) / 1e9
       }
       System.err.println(f"[scalebench] $name ${times.min}%.2f s")
+      // free this query's localCheckpoint blocks (same reason as Bench)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
