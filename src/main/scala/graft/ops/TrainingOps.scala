@@ -235,6 +235,60 @@ object TrainingOps {
         CAST(length(regexp_replace(text, '\b(customer|orders?|part|value)\b', '[X]', 'g')) AS BIGINT) AS n_chars_scrubbed
       FROM documents"""))
 
+  /** First principal component of the embedding corpus by POWER ITERATION —
+    * distributed PCA without ever materializing the d×d covariance: each
+    * iteration is X·v (join the flat centered matrix with the d-row vector,
+    * per-vector sum) then Xᵀ·y (join back on vec_id, per-dim sum), i.e. two
+    * equi-joins + two hash aggs shuffling (vec_id, y) / (dim, z) pairs —
+    * the q80 pattern applied to linear algebra. Two iterations from the
+    * deterministic all-ones start; output is the unit-norm loading per
+    * dimension. Intermediate sums rounded to 6 dp (q80's parity scheme) so
+    * summation order cannot perturb the oracle compare; the matvec vector
+    * side is d rows = model parameters, broadcast; the vec_id-side join is
+    * a linear fact-fact shuffle. At 100 TB each iteration stays two linear
+    * passes. */
+  val q93PowerIterationPca: QueryDef = QueryDef(
+    "q93_power_iteration_pca",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val flat = emb
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      val mu = flat.groupBy(col("dim")).agg(round(avg(col("v")), 9).as("mu"))
+      val xc = flat.join(broadcast(mu), Seq("dim"))
+        .select(col("vec_id"), col("dim"), (col("v") - col("mu")).as("x"))
+        .localCheckpoint() // four scans (two per iteration)
+      val d = Tables.embeddingDim(dir)
+      val v0 = mu.select(col("dim"), lit(1.0 / math.sqrt(d.toDouble)).as("w"))
+
+      def iterate(v: DataFrame): DataFrame = {
+        val y = xc.join(broadcast(v), Seq("dim"))
+          .groupBy(col("vec_id")).agg(round(sum(col("x") * col("w")), 6).as("y"))
+        val z = xc.join(y, Seq("vec_id"))
+          .groupBy(col("dim")).agg(round(sum(col("x") * col("y")), 6).as("z"))
+        val nrm = z.agg(sqrt(sum(col("z") * col("z"))).as("nrm"))
+        z.crossJoin(broadcast(nrm))
+          .select(col("dim"), (col("z") / col("nrm")).as("w"))
+      }
+      iterate(iterate(v0))
+        .select(col("dim"), round(col("w"), 6).as("loading"))
+    },
+    Some("""WITH flat AS (SELECT vec_id, t.gs - 1 AS dim, CAST(embedding[t.gs] AS DOUBLE) AS v
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(gs)),
+      mu AS (SELECT dim, round(avg(v), 9) AS mu FROM flat GROUP BY 1),
+      xc AS (SELECT f.vec_id, f.dim, f.v - m.mu AS x FROM flat f JOIN mu m USING (dim)),
+      d AS (SELECT COUNT(*) AS nd FROM mu),
+      v0 AS (SELECT dim, 1.0 / sqrt((SELECT nd FROM d)) AS w FROM mu),
+      y1 AS (SELECT vec_id, round(SUM(x * w), 6) AS y FROM xc JOIN v0 USING (dim) GROUP BY 1),
+      z1 AS (SELECT dim, round(SUM(x * y), 6) AS z FROM xc JOIN y1 USING (vec_id) GROUP BY 1),
+      n1 AS (SELECT sqrt(SUM(z * z)) AS nrm FROM z1),
+      v1 AS (SELECT dim, z / (SELECT nrm FROM n1) AS w FROM z1),
+      y2 AS (SELECT vec_id, round(SUM(x * w), 6) AS y FROM xc JOIN v1 USING (dim) GROUP BY 1),
+      z2 AS (SELECT dim, round(SUM(x * y), 6) AS z FROM xc JOIN y2 USING (vec_id) GROUP BY 1),
+      n2 AS (SELECT sqrt(SUM(z * z)) AS nrm FROM z2)
+      SELECT dim, round(z / (SELECT nrm FROM n2), 6) AS loading FROM z2"""))
+
   val all: Seq[QueryDef] = Seq(q80KmeansLloyd, q81EventFunnel,
-    q82SequencePacking, q83QualityGate, q84SourceCap, q85DenylistScrub)
+    q82SequencePacking, q83QualityGate, q84SourceCap, q85DenylistScrub,
+    q93PowerIterationPca)
 }

@@ -29,7 +29,8 @@ class PlanGuardSpec extends SparkTestBase {
   private val scalarBroadcasts = Set(
     "q34_dead_heartbeats",
     "q56_tfidf",
-    "q91_bm25") // 1-row (n_docs, avgdl) aggregate broadcast, as q56's N
+    "q91_bm25",  // 1-row (n_docs, avgdl) aggregate broadcast, as q56's N
+    "q93_power_iteration_pca") // 1-row norm scalar broadcast per iteration
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

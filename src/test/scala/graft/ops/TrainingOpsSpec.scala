@@ -137,4 +137,34 @@ class TrainingOpsSpec extends SparkTestBase {
     }
     assert(hits > 0, "fixture should contain denylisted terms")
   }
+
+  test("q93: power-iteration PC1 is unit-norm, deterministic, and dominates the uniform start") {
+    val rows = TrainingOps.q93PowerIterationPca.fn(spark, sfDir).collect()
+    assert(rows.length == 64)
+    val w = rows.map(r => r.getAs[Number]("dim").longValue() -> r.getAs[Double]("loading")).sortBy(_._1).map(_._2)
+    assert(math.abs(w.map(x => x * x).sum - 1.0) < 1e-4, "loading must be unit-norm")
+    // determinism: a second evaluation is bit-identical
+    val again = TrainingOps.q93PowerIterationPca.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Number]("dim").longValue() -> r.getAs[Double]("loading")).sortBy(_._1).map(_._2)
+    assert(w.sameElements(again))
+    // Rayleigh-quotient monotonicity: variance captured along the iterated
+    // direction must be >= variance along the uniform start (power
+    // iteration never decreases the quotient on a PSD covariance)
+    val flat = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+    val mu = flat.groupBy(col("dim")).agg(avg(col("v")).as("mu"))
+    val xc = flat.join(broadcast(mu), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("v") - col("mu")).as("x"))
+    def variance(dir0: Map[Long, Double]): Double = {
+      val wdf = spark.createDataFrame(dir0.toSeq).toDF("dim", "w")
+      xc.join(broadcast(wdf), Seq("dim"))
+        .groupBy(col("vec_id")).agg(sum(col("x") * col("w")).as("y"))
+        .agg(avg(col("y") * col("y"))).head().getDouble(0)
+    }
+    val pc1 = rows.map(r => r.getAs[Number]("dim").longValue() -> r.getAs[Double]("loading")).toMap
+    val uniform = pc1.keys.map(_ -> 1.0 / math.sqrt(64.0)).toMap
+    assert(variance(pc1) >= variance(uniform) - 1e-9,
+      "iterated direction must capture at least the start's variance")
+  }
 }
