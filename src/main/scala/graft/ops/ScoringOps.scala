@@ -1,0 +1,376 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fifth wave of LLM-training-corpus operators — the scoring &
+  * materialization layer: statistical LM scoring (bigram cross-entropy),
+  * corpus-law fitting (Zipf slope), Johnson-Lindenstrauss random
+  * projection, PII detection/redaction, training-shard materialization,
+  * and embedding-space outlier detection. All pure `functions._` column
+  * algebra — no UDFs — each with an exact DuckDB oracle.
+  *
+  * As with the earlier waves, the reference engine delegates all handler
+  * computation to user code (/root/reference/src/overseer/executor.clj:
+  * 12-39); these are the scoring handlers a training-data pipeline
+  * schedules through the job graph.
+  */
+object ScoringOps {
+
+  /** Per-document cross-entropy under the corpus's own add-one-smoothed
+    * bigram LM — the classic statistical quality/novelty score (a document
+    * whose bigrams are corpus-typical scores low; boilerplate and
+    * word-salad both score high). P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V)
+    * where c(w1·) counts bigram contexts and V is the corpus vocabulary.
+    * Shape: one tokenize pass checkpointed for its four consumers, corpus
+    * count frames are vocab-bounded hash aggs (broadcastable at any corpus
+    * scale — vocabulary grows ~log of corpus size), per-doc score is a
+    * final hash agg on doc_id. ln + sum/count + round(6) keeps
+    * cross-engine float parity exactly as q56/q91 do. */
+  val q94BigramPerplexity: QueryDef = QueryDef(
+    "q94_bigram_perplexity",
+    (s, dir) => {
+      val base = Tables(s, dir).documents
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .localCheckpoint() // feeds vocab AND the bigram frame
+      val bg = base
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint() // feeds c12, c1, and the per-doc scoring join
+      val vstats = base.select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1  = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vstats))
+        .withColumn("nll",
+          -log((col("c12").cast("double") + lit(1.0)) /
+               (col("c1").cast("double") + col("v").cast("double"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")) / count(lit(1)), 6).as("avg_nll"),
+          round(exp(sum(col("nll")) / count(lit(1))), 6).as("ppl"))
+    },
+    Some("""WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+          FROM documents),
+      b2 AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id, t.u.w1 AS w1, t.u.w2 AS w2 FROM b2,
+          UNNEST(list_transform(range(0, len(toks)-1),
+            i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS t(u)),
+      vstats AS (SELECT CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS v
+        FROM b2, UNNEST(toks) AS t(tok)),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      sc AS (SELECT bg.doc_id,
+          -ln((CAST(c12.c12 AS DOUBLE) + 1.0) / (CAST(c1.c1 AS DOUBLE) + v.v)) AS nll
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vstats v)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        round(SUM(nll) / COUNT(*), 6) AS avg_nll,
+        round(exp(SUM(nll) / COUNT(*)), 6) AS ppl
+      FROM sc GROUP BY 1"""))
+
+  /** Zipf-law slope of the vocabulary: least-squares fit of ln(freq) on
+    * ln(rank) over the top-100 terms — the corpus statistic used to sanity-
+    * check that a crawl slice looks like natural language (English text
+    * fits slope ≈ −1; templated/boilerplate corpora deviate hard). The
+    * normal-equation form keeps the arithmetic identical on both engines
+    * (Spark's regr_slope and DuckDB's may disagree in the last ulp; the
+    * explicit sums cannot). Shape: one token hash agg, a window rank over
+    * the tiny vocabulary frame, a 100-row aggregate — one corpus pass. */
+  val q95ZipfSlope: QueryDef = QueryDef(
+    "q95_zipf_slope",
+    (s, dir) => {
+      val counts = Tables(s, dir).documents
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("token").asc)
+      counts
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 100)
+        .select(log(col("rank").cast("double")).as("x"),
+                log(col("n").cast("double")).as("y"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+                (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+                (col("n_terms") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+                col("n_terms"), 6).as("intercept"))
+    },
+    Some("""WITH counts AS (SELECT token, COUNT(*) AS n FROM (
+          SELECT UNNEST(regexp_extract_all(lower(text), '\w+')) AS token
+          FROM documents) GROUP BY 1),
+      ranked AS (SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+        FROM counts),
+      xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        FROM ranked WHERE rank <= 100),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM xy)
+      SELECT n_terms,
+        round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
+        round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+              / n_terms, 6) AS intercept
+      FROM s"""))
+
+  /** Johnson-Lindenstrauss random projection of the embedding corpus from
+    * 64 to 8 dimensions with a deterministic ±1/√8 sign matrix derived
+    * from md5(dim, j) — the cheap dimensionality reduction that preserves
+    * pairwise distances within (1±ε) and powers sub-linear ANN/clustering
+    * preprocessing (complements q93's PCA, which finds the data's own
+    * axes; JL is data-oblivious so it needs no fit pass at 100 TB).
+    * Reported per vector: original and projected L2 norms and their ratio
+    * — the JL contract made measurable. Shape: one flat explode
+    * checkpointed for both norms, the 64×8 sign matrix built by pure
+    * column algebra and broadcast, projection = one (vec_id, j) hash agg. */
+  val q96RandomProjection: QueryDef = QueryDef(
+    "q96_random_projection",
+    (s, dir) => {
+      val k = 8
+      val flat = Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+        .localCheckpoint() // feeds the sign matrix, norm_orig, and the projection
+      val signs = flat.select(col("dim")).distinct()
+        .select(col("dim"), explode(expr(s"sequence(0, ${k - 1})")).as("j"))
+        .withColumn("sgn", when(
+          expr("CAST(conv(substring(md5(concat('rp_', CAST(dim AS STRING), '_', CAST(j AS STRING))), 1, 1), 16, 10) AS INT) % 2") === 0,
+          lit(1.0)).otherwise(lit(-1.0)))
+      val proj = flat.join(broadcast(signs), Seq("dim"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg((sum(col("v") * col("sgn")) / math.sqrt(k.toDouble)).as("p"))
+        .groupBy(col("vec_id"))
+        .agg(sqrt(sum(col("p") * col("p"))).as("norm_proj"))
+      val orig = flat.groupBy(col("vec_id"))
+        .agg(sqrt(sum(col("v") * col("v"))).as("norm_orig"))
+      orig.join(proj, Seq("vec_id"))
+        .select(col("vec_id"), round(col("norm_orig"), 6).as("norm_orig"),
+          round(col("norm_proj"), 6).as("norm_proj"),
+          round(col("norm_proj") / col("norm_orig"), 6).as("ratio"))
+    },
+    Some("""WITH flat AS (SELECT vec_id, t.gs - 1 AS dim, CAST(embedding[t.gs] AS DOUBLE) AS v
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(gs)),
+      signs AS (SELECT dim, t.j,
+          CASE WHEN ('0x' || substr(md5('rp_' || CAST(dim AS VARCHAR) || '_' || CAST(t.j AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+               THEN 1.0 ELSE -1.0 END AS sgn
+        FROM (SELECT DISTINCT dim FROM flat), UNNEST(generate_series(0, 7)) AS t(j)),
+      proj AS (SELECT f.vec_id, s.j, SUM(f.v * s.sgn) / sqrt(8.0) AS p
+        FROM flat f JOIN signs s USING (dim) GROUP BY 1, 2),
+      np AS (SELECT vec_id, sqrt(SUM(p * p)) AS norm_proj FROM proj GROUP BY 1),
+      no AS (SELECT vec_id, sqrt(SUM(v * v)) AS norm_orig FROM flat GROUP BY 1)
+      SELECT vec_id, round(norm_orig, 6) AS norm_orig,
+        round(norm_proj, 6) AS norm_proj,
+        round(norm_proj / norm_orig, 6) AS ratio
+      FROM no JOIN np USING (vec_id)"""))
+
+  /** PII detection & redaction: find email addresses and phone-shaped
+    * digit runs, count them, and replace them with redaction tokens — the
+    * mandatory scrubbing pass before any crawl text reaches a training
+    * mix. The shipped synthetic corpus contains no PII (verified), so the
+    * operator injects a deterministic contact line derived from
+    * (doc_id, source) first — the injection is part of the query on BOTH
+    * engines, so detection and redaction are still verified end-to-end
+    * byte-for-byte. Regexes stay inside the Java-regex ∩ RE2 common
+    * subset (character classes + bounded quantifiers; no lookaround, no
+    * backreferences). Shape: a pure per-row projection — no shuffle at
+    * all; at 100 TB this runs at scan speed. */
+  val q97PiiRedaction: QueryDef = QueryDef(
+    "q97_pii_redaction",
+    (s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      Tables(s, dir).documents
+        .withColumn("pii_text", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@"), col("source"), lit(".example.com or call "),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"), lit(" now")))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(col("pii_text"), email, "<EMAIL>"), phone, "<PHONE>"))
+        .select(col("doc_id"),
+          regexp_count(col("pii_text"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("pii_text"), lit(phone)).cast("long").as("n_phones"),
+          md5(col("scrubbed")).as("scrub_md5"),
+          (length(col("pii_text")) - length(col("scrubbed"))).cast("long").as("chars_removed"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+               || '.example.com or call '
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' now' AS pii_text
+        FROM documents),
+      r AS (SELECT doc_id, pii_text,
+          regexp_replace(regexp_replace(pii_text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        FROM p)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(pii_text, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        md5(scrubbed) AS scrub_md5,
+        CAST(length(pii_text) - length(scrubbed) AS BIGINT) AS chars_removed
+      FROM r"""))
+
+  /** Training-shard materialization: q82's deterministic token-budget
+    * packing taken the last mile — each pack's documents concatenated in
+    * doc_id order with an end-of-document separator into the actual
+    * training payload, surfaced as an md5 + length so the oracle verifies
+    * the bytes without hauling shards through the diff. Shape: one window
+    * cumsum for pack assignment, then one hash agg per pack whose
+    * collect_list is bounded by the 512-token budget — the pack payloads
+    * are small BY CONSTRUCTION, so the agg never sees unbounded state. */
+  val q98TrainingShards: QueryDef = QueryDef(
+    "q98_training_shards",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).documents
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"),
+          md5(array_join(expr(
+            "transform(array_sort(collect_list(struct(doc_id, text))), x -> x.text)"),
+            " <|eod|> ")).as("payload_md5"),
+          sum(length(col("text")).cast("long")).as("payload_chars"))
+    },
+    Some("""WITH t AS (SELECT lang, doc_id, text,
+          CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (SELECT lang, doc_id, text, n_tok, SUM(n_tok) OVER (
+          PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+      SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+        md5(string_agg(text, ' <|eod|> ' ORDER BY doc_id)) AS payload_md5,
+        CAST(SUM(length(text)) AS BIGINT) AS payload_chars
+      FROM c GROUP BY 1, 2"""))
+
+  /** Embedding-space outlier detection: distance of every vector to the
+    * corpus centroid, z-scored against the corpus distance distribution —
+    * the geometric quality filter that catches mojibake/binary-garbage
+    * documents whose embeddings land far from the data manifold. Moments
+    * are computed from explicit sum/sumsq (not stddev_samp) so both
+    * engines run the identical arithmetic. Shape: flat explode
+    * checkpointed once; centroid = one dim-bounded hash agg (broadcast);
+    * distances = one per-vector hash agg; moments = one scalar agg. Three
+    * corpus passes over a frame that is (n_vectors × dim) rows — linear,
+    * shuffle keys all bounded. */
+  val q99EmbeddingOutliers: QueryDef = QueryDef(
+    "q99_embedding_outliers",
+    (s, dir) => {
+      val flat = Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+        .localCheckpoint() // feeds the centroid AND the distance join
+      val centroid = flat.groupBy(col("dim"))
+        .agg((sum(col("v")) / count(lit(1))).as("c"))
+      val dist = flat.join(broadcast(centroid), Seq("dim"))
+        .groupBy(col("vec_id"))
+        .agg(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))).as("d"))
+      val moments = dist.agg(count(lit(1)).as("n"),
+        sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"))
+      dist.crossJoin(broadcast(moments))
+        .withColumn("mu", col("sd") / col("n"))
+        .withColumn("sigma", sqrt((col("sdd") - col("sd") * col("sd") / col("n")) /
+          (col("n") - lit(1))))
+        .withColumn("z", (col("d") - col("mu")) / col("sigma"))
+        .filter(col("z") > 1.5)
+        .select(col("vec_id"), round(col("d"), 6).as("dist"), round(col("z"), 6).as("z"))
+    },
+    Some("""WITH flat AS (SELECT vec_id, t.gs - 1 AS dim, CAST(embedding[t.gs] AS DOUBLE) AS v
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(gs)),
+      centroid AS (SELECT dim, SUM(v) / COUNT(*) AS c FROM flat GROUP BY 1),
+      dist AS (SELECT vec_id, sqrt(SUM((v - c) * (v - c))) AS d
+        FROM flat JOIN centroid USING (dim) GROUP BY 1),
+      m AS (SELECT COUNT(*) AS n, SUM(d) AS sd, SUM(d * d) AS sdd FROM dist),
+      z AS (SELECT vec_id, d,
+          (d - sd / n) / sqrt((sdd - sd * sd / n) / (n - 1)) AS z
+        FROM dist CROSS JOIN m)
+      SELECT vec_id, round(d, 6) AS dist, round(z, 6) AS z
+      FROM z WHERE z > 1.5"""))
+
+  /** The curation pipeline, v2 — the capstone composition: exact quality
+    * gate (top-half type-token ratio per language, q83's shape) →
+    * cross-document chunk-dedup drop (q88's signal at a 0.5 threshold) →
+    * token-budget packing of the survivors (q82's shape) → per-language
+    * shard accounting. One linear flow of window + hash-agg stages; every
+    * shuffle keys on lang, a chunk hash, or doc_id. This is the shape of a
+    * production pretraining-mix build, end to end, as one declarative
+    * plan. */
+  val q100CurationV2: QueryDef = QueryDef(
+    "q100_curation_v2",
+    (s, dir) => {
+      val c = 32
+      val docs = Tables(s, dir).documents
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("ttr", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double"), 9))
+      val wq = Window.partitionBy(col("lang")).orderBy(col("ttr").desc)
+      val gated = docs
+        .withColumn("pr", round(percent_rank().over(wq), 9))
+        .filter(col("pr") <= 0.5)
+        .localCheckpoint() // feeds the chunk frame AND the packing stage
+      val chunks = gated
+        .filter(col("n_tok") >= c)
+        .withColumn("h", explode(expr(
+          s"transform(sequence(0, CAST(n_tok div $c AS INT) - 1), i -> md5(concat_ws(' ', slice(toks, i*$c+1, $c))))")))
+        .select(col("doc_id"), col("n_tok").as("nt"), col("h"))
+        .localCheckpoint()
+      val spread = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_h"))
+      val dupScore = chunks.join(spread, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg((sum(when(col("n_docs_h") > 1, lit(1.0)).otherwise(lit(0.0))) /
+          count(lit(1))).as("dup_ratio"))
+      val kept = gated
+        .join(dupScore, Seq("doc_id"), "left")
+        .filter(coalesce(col("dup_ratio"), lit(0.0)) <= 0.5)
+      val wp = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept
+        .withColumn("cum", sum(col("n_tok")).over(wp))
+        .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          sum(col("n_tok")).as("total_tokens"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, text,
+          regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+      d2 AS (SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+          round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 9) AS ttr
+        FROM d WHERE len(toks) > 0),
+      gated AS (SELECT * FROM (SELECT doc_id, lang, toks, n_tok,
+          round(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ttr DESC), 9) AS pr
+        FROM d2) WHERE pr <= 0.5),
+      chunks AS (SELECT doc_id, UNNEST(list_transform(range(0, CAST(n_tok AS INTEGER) // 32),
+            i -> md5(array_to_string(toks[i*32+1 : i*32+32], ' ')))) AS h
+        FROM gated WHERE n_tok >= 32),
+      spread AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs_h FROM chunks GROUP BY 1),
+      dup AS (SELECT c.doc_id,
+          SUM(CASE WHEN s.n_docs_h > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*) AS dup_ratio
+        FROM chunks c JOIN spread s USING (h) GROUP BY 1),
+      kept AS (SELECT g.doc_id, g.lang, g.n_tok FROM gated g
+        LEFT JOIN dup USING (doc_id)
+        WHERE COALESCE(dup.dup_ratio, 0.0) <= 0.5),
+      packed AS (SELECT lang, n_tok, (SUM(n_tok) OVER (
+          PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 512 AS pack_id
+        FROM kept)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+        CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+        CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      FROM packed GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q94BigramPerplexity, q95ZipfSlope,
+    q96RandomProjection, q97PiiRedaction, q98TrainingShards,
+    q99EmbeddingOutliers, q100CurationV2)
+}
