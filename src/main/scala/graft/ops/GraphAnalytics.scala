@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sixth wave — graph analytics over the job-DAG shape: PageRank,
+  * critical-path (longest-path) depth, the degree profile, and
+  * reciprocal-rank fusion of independent document rankings. The reference
+  * schedules DAGs but never analyzes them (/root/reference/src/overseer/
+  * api.clj:64-88 builds graphs, jdbc.clj:96-116 walks them); these are the
+  * introspection operators a 100 TB pipeline runs over its own dependency
+  * structure — and, for q104, over its retrieval rankings.
+  *
+  * The test graph is deterministic and data-derived: node k (a part key)
+  * points to k div 2 and k div 3 — a DAG with out-degree ≤ 2, in-degree
+  * ≤ 5, and exponentially many root paths, so longest-path and PageRank
+  * are non-trivial while every edge is reproducible in SQL on both
+  * engines. */
+object GraphAnalytics {
+
+  /** (child, parent) edge table: k → k div 2 (k > 1) ∪ k → k div 3
+    * (k > 2, where it differs from the div-2 parent). */
+  private def dagEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part.select(col("p_partkey").cast("long").as("child"))
+    p.filter(col("child") > 1)
+      .select(col("child"), expr("child div 2").as("parent"))
+      .union(p.filter(col("child") > 2)
+        .select(col("child"), expr("child div 3").as("parent"))
+        .filter(col("parent") =!= expr("child div 2")))
+  }
+
+  private val edgesSql =
+    """SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey > 1
+      |        UNION ALL
+      |        SELECT p_partkey, p_partkey // 3 FROM part
+      |        WHERE p_partkey > 2 AND p_partkey // 3 <> p_partkey // 2""".stripMargin
+
+  /** PageRank, 3 unrolled power iterations, d = 0.85, uniform init 1/N —
+    * the influence measure over the dependency DAG (which upstream jobs
+    * does everything lean on?). The simplified formulation: dangling mass
+    * is not redistributed (node 1 absorbs in-flow and emits none), which
+    * both engines state identically. Shape per iteration: one equi-join
+    * rank ⋈ edges on the source key, one hash agg on the destination key,
+    * one left join back to the node frame — all linear in |E|, the
+    * canonical distributed PageRank round. N is a metadata scalar read
+    * once (like Tables.embeddingDim, no per-row action). Checkpoint per
+    * iteration truncates the 3-round lineage. */
+  val q101Pagerank: QueryDef = QueryDef(
+    "q101_pagerank",
+    (s, dir) => {
+      val d = 0.85
+      val edges = dagEdges(s, dir).localCheckpoint()
+      val nodes = edges.select(col("child").as("node"))
+        .union(edges.select(col("parent"))).distinct().localCheckpoint()
+      val n = nodes.count()
+      val outdeg = edges.groupBy(col("child")).agg(count(lit(1)).as("outdeg"))
+      var pr = nodes.withColumn("pr", lit(1.0 / n))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("node", "child"), Seq("child"))
+          .join(outdeg, Seq("child"))
+          .groupBy(col("parent"))
+          .agg(sum(col("pr") / col("outdeg")).as("inflow"))
+        pr = nodes.join(contrib.withColumnRenamed("parent", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit((1.0 - d) / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(col("node"), round(col("pr") * lit(1000.0), 9).as("pr_permille"))
+    },
+    Some(s"""WITH edges AS ($edgesSql),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT child AS node FROM edges UNION ALL SELECT parent FROM edges)),
+      n AS (SELECT COUNT(*) AS n FROM nodes),
+      outdeg AS (SELECT child, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      pr0 AS (SELECT node, 1.0 / n.n AS pr FROM nodes CROSS JOIN n),
+      c1 AS (SELECT e.parent, SUM(p.pr / o.outdeg) AS inflow FROM edges e
+        JOIN pr0 p ON p.node = e.child JOIN outdeg o ON o.child = e.child GROUP BY 1),
+      pr1 AS (SELECT nodes.node, 0.15 / n.n + 0.85 * COALESCE(c1.inflow, 0.0) AS pr
+        FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.parent = nodes.node),
+      c2 AS (SELECT e.parent, SUM(p.pr / o.outdeg) AS inflow FROM edges e
+        JOIN pr1 p ON p.node = e.child JOIN outdeg o ON o.child = e.child GROUP BY 1),
+      pr2 AS (SELECT nodes.node, 0.15 / n.n + 0.85 * COALESCE(c2.inflow, 0.0) AS pr
+        FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.parent = nodes.node),
+      c3 AS (SELECT e.parent, SUM(p.pr / o.outdeg) AS inflow FROM edges e
+        JOIN pr2 p ON p.node = e.child JOIN outdeg o ON o.child = e.child GROUP BY 1),
+      pr3 AS (SELECT nodes.node, 0.15 / n.n + 0.85 * COALESCE(c3.inflow, 0.0) AS pr
+        FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.parent = nodes.node)
+      SELECT node, round(pr * 1000.0, 9) AS pr_permille FROM pr3"""))
+
+  /** Critical-path depth: the LONGEST path from every node up to the root
+    * — the DAG statistic that bounds pipeline makespan (a job at depth d
+    * cannot start before d sequential waves). Where q21 computes min-depth
+    * (BFS reachability), this is the max-fold: depth(v) = 1 +
+    * max(depth(parents of v)), iterated to fixpoint — rounds = path
+    * length, each round one equi-join + one hash max-agg, linear in |E|,
+    * checkpointed. The oracle enumerates every root path recursively and
+    * takes the max — exponentially many paths, affordable only at oracle
+    * scale; the Spark side never enumerates paths at all (the max-fold
+    * carries just (node, best-so-far), which is what survives at 100 TB).
+    */
+  val q102CriticalPath: QueryDef = QueryDef(
+    "q102_critical_path",
+    (s, dir) => {
+      val edges = dagEdges(s, dir).localCheckpoint()
+      // depth 0 at the root; iterate depth(child) = 1 + max(depth(parent))
+      var depth = s.range(1, 2).select(col("id").as("node"), lit(0L).as("depth"))
+      var changed = 1L
+      while (changed > 0) {
+        val viaParent = edges
+          .join(depth.withColumnRenamed("node", "parent"), Seq("parent"))
+          .select(col("child").as("node"), (col("depth") + 1).as("depth"))
+        val next = depth.union(viaParent)
+          .groupBy(col("node")).agg(max(col("depth")).as("depth"))
+          .localCheckpoint()
+        changed = next.join(depth.withColumnRenamed("depth", "prev"), Seq("node"), "left")
+          .filter(col("prev").isNull || col("depth") =!= col("prev")).count()
+        depth = next
+      }
+      depth.filter(col("depth") > 0)
+    },
+    Some(s"""WITH RECURSIVE edges AS ($edgesSql),
+      d AS (
+        SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT e.child, d.depth + 1 FROM d JOIN edges e ON e.parent = d.node)
+      SELECT node, MAX(depth) AS depth FROM d GROUP BY 1 HAVING MAX(depth) > 0"""))
+
+  /** Degree profile of the DAG: per (in-degree, out-degree) pair, how many
+    * nodes — the shape diagnostic that catches degenerate graphs (a
+    * million-child fan-in means a hot shuffle key downstream) before they
+    * hit the scheduler. Two hash aggs on node keys + one left join from
+    * the node frame; linear, and the profile itself is degree-bounded
+    * (tiny) at any graph size. */
+  val q103DegreeProfile: QueryDef = QueryDef(
+    "q103_degree_profile",
+    (s, dir) => {
+      val edges = dagEdges(s, dir).localCheckpoint()
+      val nodes = edges.select(col("child").as("node"))
+        .union(edges.select(col("parent"))).distinct()
+      val out = edges.groupBy(col("child").as("node")).agg(count(lit(1)).as("outdeg"))
+      val in  = edges.groupBy(col("parent").as("node")).agg(count(lit(1)).as("indeg"))
+      nodes.join(out, Seq("node"), "left").join(in, Seq("node"), "left")
+        .select(coalesce(col("indeg"), lit(0L)).as("indeg"),
+                coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+        .groupBy(col("indeg"), col("outdeg"))
+        .agg(count(lit(1)).as("n_nodes"))
+    },
+    Some(s"""WITH edges AS ($edgesSql),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT child AS node FROM edges UNION ALL SELECT parent FROM edges)),
+      o AS (SELECT child AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      i AS (SELECT parent AS node, COUNT(*) AS indeg FROM edges GROUP BY 1)
+      SELECT COALESCE(i.indeg, 0) AS indeg, COALESCE(o.outdeg, 0) AS outdeg,
+        CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM nodes LEFT JOIN o USING (node) LEFT JOIN i USING (node)
+      GROUP BY 1, 2"""))
+
+  /** Reciprocal-rank fusion (k = 60) of two independent document
+    * rankings: lexical relevance (q91's BM25 over the fixed query terms)
+    * and a quality prior (type-token ratio, q83's signal) — the standard
+    * score-free way to merge heterogeneous retrieval signals when mining
+    * domain-relevant, high-quality training documents. Absent from a
+    * ranking contributes 0 (the full-outer-join convention). 1/(60+rank)
+    * on integer ranks is bit-identical on both engines; the top-50 cut
+    * breaks ties by doc_id. Shape: two window ranks over already-tiny
+    * frames + one full outer join on doc_id + one global top-k. */
+  val q104RrfFusion: QueryDef = QueryDef(
+    "q104_rrf_fusion",
+    (s, dir) => {
+      val bm = CurationOps.q91Bm25.fn(s, dir)
+        .withColumn("r_bm25", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("r_bm25"))
+      val ttr = Tables(s, dir).documents
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("ttr", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double"), 9))
+        .withColumn("r_ttr", row_number().over(
+          Window.orderBy(col("ttr").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("r_ttr"))
+      bm.join(ttr, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_ttr")), lit(0.0)), 9))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 50)
+        .select(col("doc_id"), col("rrf"), col("rank"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\w+')) AS token
+        FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN ('spark', 'join', 'window') GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      bm AS (SELECT tf.doc_id,
+          round(SUM(
+            ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+            * (tf.tf * 2.2)
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS bm25
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY 1),
+      rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+          ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_bm25 FROM bm),
+      t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM documents),
+      q AS (SELECT doc_id, round(
+            CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 9) AS ttr
+        FROM t WHERE len(tk) > 0),
+      rt AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+          ORDER BY ttr DESC, doc_id) AS BIGINT) AS r_ttr FROM q),
+      fused AS (SELECT COALESCE(rb.doc_id, rt.doc_id) AS doc_id,
+          round(COALESCE(1.0 / (60.0 + rb.r_bm25), 0.0)
+              + COALESCE(1.0 / (60.0 + rt.r_ttr), 0.0), 9) AS rrf
+        FROM rb FULL OUTER JOIN rt ON rb.doc_id = rt.doc_id)
+      SELECT doc_id, rrf, rank FROM (
+        SELECT doc_id, rrf, CAST(ROW_NUMBER() OVER (
+          ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM fused)
+      WHERE rank <= 50"""))
+
+  val all: Seq[QueryDef] = Seq(q101Pagerank, q102CriticalPath,
+    q103DegreeProfile, q104RrfFusion)
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantic contracts of the graph-analytics wave (q101–q104) beyond
+  * oracle parity: PageRank's mass accounting, the longest-path fixpoint
+  * equation, degree-profile conservation, and RRF's rank algebra. */
+class GraphAnalyticsSpec extends SparkTestBase {
+
+  test("q101: ranks are positive, total mass ≤ 1 (dangling root leaks), root is max") {
+    val rows = GraphAnalytics.q101Pagerank.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("pr_permille") > 0.0))
+    val total = rows.map(_.getAs[Double]("pr_permille")).sum / 1000.0
+    assert(total <= 1.0 + 1e-9, s"PageRank mass $total exceeds 1")
+    assert(total > 0.5, s"PageRank mass $total lost too much to the dangling root")
+    val top = rows.maxBy(_.getAs[Double]("pr_permille")).getAs[Long]("node")
+    assert(top == 1L, s"node $top outranks the root every path feeds")
+  }
+
+  test("q102: depths satisfy the longest-path fixpoint equation on every node") {
+    val depth = GraphAnalytics.q102CriticalPath.fn(spark, sfDir)
+      .union(spark.range(1, 2).select(col("id").as("node"), lit(0L).as("depth")))
+      .localCheckpoint()
+    // recompute one more max-fold round: a true fixpoint must be unchanged
+    val edges = Tables(spark, sfDir).part
+      .select(col("p_partkey").cast("long").as("child"))
+      .filter(col("child") > 1)
+      .select(col("child"), expr("child div 2").as("parent"))
+      .union(Tables(spark, sfDir).part
+        .select(col("p_partkey").cast("long").as("child"))
+        .filter(col("child") > 2)
+        .select(col("child"), expr("child div 3").as("parent"))
+        .filter(col("parent") =!= expr("child div 2")))
+    val recomputed = edges
+      .join(depth.withColumnRenamed("node", "parent"), Seq("parent"))
+      .groupBy(col("child").as("node"))
+      .agg((max(col("depth")) + 1).as("d2"))
+    val broken = depth.filter(col("node") =!= 1)
+      .join(recomputed, Seq("node"))
+      .filter(col("depth") =!= col("d2")).count()
+    assert(broken == 0, s"$broken nodes violate depth = 1 + max(parent depth)")
+  }
+
+  test("q103: profile conserves the node count; degrees stay in the DAG's bounds") {
+    val rows = GraphAnalytics.q103DegreeProfile.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum ==
+      GraphAnalytics.q101Pagerank.fn(spark, sfDir).count(),
+      "degree profile covers a different node set than PageRank")
+    assert(rows.forall(_.getAs[Long]("outdeg") <= 2), "out-degree by construction ≤ 2")
+    assert(rows.forall(_.getAs[Long]("indeg") <= 5), "in-degree by construction ≤ 5")
+  }
+
+  test("q104: ranks are 1..50 dense, scores bounded by the best-possible 2/61") {
+    val rows = GraphAnalytics.q104RrfFusion.fn(spark, sfDir)
+      .orderBy(col("rank")).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 50L),
+      "fused ranks must be dense 1..50")
+    assert(rows.forall(r => r.getAs[Double]("rrf") > 0.0 &&
+      r.getAs[Double]("rrf") <= 2.0 / 61.0 + 1e-12))
+    // monotone: scores non-increasing in rank
+    val scores = rows.map(_.getAs[Double]("rrf"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -32,7 +32,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q91_bm25",  // 1-row (n_docs, avgdl) aggregate broadcast, as q56's N
     "q93_power_iteration_pca", // 1-row norm scalar broadcast per iteration
     "q94_bigram_perplexity",   // 1-row vocabulary-size broadcast
-    "q99_embedding_outliers")  // 1-row (n, Σd, Σd²) moments broadcast
+    "q99_embedding_outliers",  // 1-row (n, Σd, Σd²) moments broadcast
+    "q104_rrf_fusion")         // inherits q91's 1-row (n_docs, avgdl) broadcast
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
