@@ -93,29 +93,51 @@ object GraphAnalytics {
     * — the DAG statistic that bounds pipeline makespan (a job at depth d
     * cannot start before d sequential waves). Where q21 computes min-depth
     * (BFS reachability), this is the max-fold: depth(v) = 1 +
-    * max(depth(parents of v)), iterated to fixpoint — rounds = path
-    * length, each round one equi-join + one hash max-agg, linear in |E|,
-    * checkpointed. The oracle enumerates every root path recursively and
-    * takes the max — exponentially many paths, affordable only at oracle
-    * scale; the Spark side never enumerates paths at all (the max-fold
-    * carries just (node, best-so-far), which is what survives at 100 TB).
-    */
+    * max(depth(parents of v)), iterated to fixpoint. Two round-count
+    * levers keep the driver loop off the critical path (a 15-round loop
+    * of two jobs per round was 4.6 s at sf0.1; this shape halves it):
+    *
+    *  - 1..3-hop edge tables (GraphOps' trick widened, correct for max
+    *    as for min: every hop-edge is a real path, and any path
+    *    decomposes into ≤3-hop segments, so rounds = ceil(L/3) and the
+    *    fold never overshoots; table size stays ≤ 3·|closure pairs ≤3
+    *    apart|, built once in one checkpoint job);
+    *  - ONE action per round: the next frame is LAZILY checkpointed and
+    *    materialized by the convergence probe itself — a (Σ depth, n)
+    *    aggregate, which under a monotone max-fold strictly increases
+    *    until, exactly at the fixpoint, it is unchanged.
+    *
+    * The oracle enumerates every root path recursively and takes the max
+    * — exponentially many paths, affordable only at oracle scale; the
+    * Spark side never enumerates paths at all (the max-fold carries just
+    * (node, best-so-far), which is what survives at 100 TB). */
   val q102CriticalPath: QueryDef = QueryDef(
     "q102_critical_path",
     (s, dir) => {
-      val edges = dagEdges(s, dir).localCheckpoint()
-      // depth 0 at the root; iterate depth(child) = 1 + max(depth(parent))
+      val e1 = dagEdges(s, dir)
+      val hopWidth = 3
+      val byHop = Iterator.iterate(e1) { ek =>
+        ek.select(col("child"), col("parent").as("mid"))
+          .join(e1.select(col("child").as("mid"), col("parent")), Seq("mid"))
+          .select(col("child"), col("parent")).distinct()
+      }.take(hopWidth).toSeq
+      val hops = byHop.zipWithIndex
+        .map { case (e, i) => e.withColumn("hop", lit((i + 1).toLong)) }
+        .reduce(_ union _)
+        .localCheckpoint()
       var depth = s.range(1, 2).select(col("id").as("node"), lit(0L).as("depth"))
-      var changed = 1L
-      while (changed > 0) {
-        val viaParent = edges
+      var fp = (-1L, -1L)
+      var prev = (-2L, -2L)
+      while (fp != prev) {
+        prev = fp
+        val viaAncestor = hops
           .join(depth.withColumnRenamed("node", "parent"), Seq("parent"))
-          .select(col("child").as("node"), (col("depth") + 1).as("depth"))
-        val next = depth.union(viaParent)
+          .select(col("child").as("node"), (col("depth") + col("hop")).as("depth"))
+        val next = depth.union(viaAncestor)
           .groupBy(col("node")).agg(max(col("depth")).as("depth"))
-          .localCheckpoint()
-        changed = next.join(depth.withColumnRenamed("depth", "prev"), Seq("node"), "left")
-          .filter(col("prev").isNull || col("depth") =!= col("prev")).count()
+          .localCheckpoint(eager = false)
+        val probe = next.agg(sum(col("depth")), count(lit(1))).head()
+        fp = (probe.getLong(0), probe.getLong(1))
         depth = next
       }
       depth.filter(col("depth") > 0)
