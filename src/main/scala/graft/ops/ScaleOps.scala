@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-pattern operators: the shapes a 100 TB pipeline reaches for when
+  * vanilla groupBy/join starts to hurt — explicit skew salting, snapshot
+  * diffing, single-pass data-quality expectations, and SCD2 validity
+  * intervals. Each is oracle-checked against the equivalent direct SQL, so
+  * the scale-shaped plan is proven result-identical to the naive one.
+  */
+object ScaleOps {
+
+  private val M = DecimalType(18, 4)
+
+  /** Two-stage salted aggregation. `events` has only 5 event_type keys —
+    * at 100 TB a plain groupBy(event_type) funnels ~20 TB into each of 5
+    * reducers and dies. Salting splits every hot key across 32 partial
+    * groups (map-side combine still applies within each), then the second
+    * stage folds 5×32 tiny partials. The oracle is the PLAIN aggregate:
+    * the salted plan must be bit-identical because partial sums stay in
+    * exact DECIMAL until the final cast.
+    */
+  val q105SaltedSkewAgg: QueryDef = QueryDef(
+    "q105_salted_skew_agg",
+    (s, dir) => {
+      val partial = EventOps.events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(32)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+             sum(col("value").cast(M)).as("pv"))
+      partial
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+             sum(col("pv")).cast("double").as("total_value"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1"""))
+
+  /** Snapshot diff (the table-versioning primitive): classify every key as
+    * added / changed / unchanged between the state as-of 2024-01-05 and
+    * the final state. "State" is the latest event per (user, event_type)
+    * key (q45's shape); the diff itself is a full outer join on the key
+    * with value comparison — one co-partitioned shuffle at any scale, and
+    * the per-side "latest" is a max-of-struct hash-agg, not a window sort.
+    * Row-level output: the downstream incremental job consumes exactly
+    * the added/changed keys.
+    */
+  val q106SnapshotDiff: QueryDef = QueryDef(
+    "q106_snapshot_diff",
+    (s, dir) => {
+      val ev = EventOps.events(s, dir)
+      def latest(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(unix_micros(col("ts")).as("ts_us"),
+                        col("event_id"))).as("m"))
+        .select(col("user_id"), col("event_type"),
+                col("m.event_id").as("event_id"))
+      val old = latest(ev.filter(col("ts") < lit("2024-01-05").cast("timestamp")))
+        .withColumnRenamed("event_id", "old_event_id")
+      val neu = latest(ev)
+      neu.join(old, Seq("user_id", "event_type"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_event_id").isNull, lit("added"))
+            .when(col("event_id") =!= col("old_event_id"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .select(col("user_id"), col("event_type"), col("change_type"),
+                col("event_id"), col("old_event_id"))
+    },
+    Some("""WITH old AS (
+        SELECT user_id, event_type, event_id AS old_event_id FROM (
+          SELECT user_id, event_type, event_id, ROW_NUMBER() OVER
+            (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts < TIMESTAMP '2024-01-05') WHERE rn = 1),
+      neu AS (
+        SELECT user_id, event_type, event_id FROM (
+          SELECT user_id, event_type, event_id, ROW_NUMBER() OVER
+            (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1)
+      SELECT user_id, event_type,
+             CASE WHEN old.old_event_id IS NULL THEN 'added'
+                  WHEN neu.event_id <> old.old_event_id THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             neu.event_id, old.old_event_id
+      FROM neu FULL OUTER JOIN old USING (user_id, event_type)"""))
+
+  /** Data-quality expectations: the validation pass a pipeline runs before
+    * promoting a snapshot. One aggregate per table (both lineitem checks
+    * share a single scan via conditional aggregation + stack), plus one
+    * referential-integrity anti-join; at 100 TB each check is a single
+    * map-side-combined pass over its table.
+    */
+  val q107Expectations: QueryDef = QueryDef(
+    "q107_expectations",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem.agg(
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("qty_bad"),
+          (count(lit(1)) -
+            countDistinct(col("l_orderkey") * 8 + col("l_linenumber"))).as("pk_dupes"))
+        .selectExpr(
+          """stack(2, 'lineitem_qty_range', qty_bad,
+                      'lineitem_pk_dupes', pk_dupes)
+             AS (check_name, violations)""")
+      val orphans = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders_orphan_cust").as("check_name"), col("violations"))
+      val docs = t.documents.agg(
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).cast("long").as("violations"))
+        .select(lit("documents_empty_text").as("check_name"), col("violations"))
+      val ev = EventOps.events(s, dir).agg(
+          sum(when(!col("event_type").isin("click", "view", "purchase",
+                                           "signup", "error"), 1L)
+            .otherwise(0L)).cast("long").as("violations"))
+        .select(lit("events_bad_type").as("check_name"), col("violations"))
+      li.unionByName(orphans).unionByName(docs).unionByName(ev)
+    },
+    Some("""SELECT 'lineitem_qty_range' AS check_name,
+        CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_pk_dupes',
+        CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_orphan_cust', CAST(COUNT(*) AS BIGINT)
+      FROM orders WHERE NOT EXISTS
+        (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      UNION ALL
+      SELECT 'documents_empty_text', CAST(COUNT(*) AS BIGINT)
+      FROM documents WHERE text IS NULL OR length(text) = 0
+      UNION ALL
+      SELECT 'events_bad_type', CAST(COUNT(*) AS BIGINT)
+      FROM events
+      WHERE event_type NOT IN ('click','view','purchase','signup','error')
+         OR event_type IS NULL"""))
+
+  /** SCD Type-2: turn the purchase-event change feed into validity
+    * intervals — each row's valid_to is the next change's valid_from,
+    * open-ended (NULL) for the current row. One window per user key; ties
+    * broken by event_id so the interval chain is deterministic. This is
+    * the standard dimension-history build, and it sub-shards cleanly: the
+    * window partitions by user_id, so 1000 executors each chain their own
+    * users.
+    */
+  val q108Scd2Intervals: QueryDef = QueryDef(
+    "q108_scd2_intervals",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      EventOps.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("valid_from_us", unix_micros(col("ts")))
+        .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+        .withColumn("is_current",
+          when(col("valid_to_us").isNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_id"), col("value"),
+                col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    },
+    Some("""SELECT user_id, event_id, value,
+        epoch_us(ts) AS valid_from_us,
+        LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+        CASE WHEN LEAD(epoch_us(ts)) OVER w IS NULL THEN CAST(1 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS is_current
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                   event_id ASC NULLS FIRST)"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q105SaltedSkewAgg, q106SnapshotDiff, q107Expectations, q108Scd2Intervals)
+}

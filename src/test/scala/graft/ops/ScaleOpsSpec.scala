@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the scale-pattern operators (q105–q108). Exactness
+  * vs the naive forms is the DuckDB oracle's job; these assert the
+  * invariants the oracle can't express (salting is partition-invariant,
+  * the diff accounts for every user, SCD2 intervals chain disjointly).
+  */
+class ScaleOpsSpec extends SparkTestBase {
+
+  test("salted agg equals the unsalted aggregate under a different partitioning") {
+    val salted = ScaleOps.q105SaltedSkewAgg.fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    val plain = EventOps.events(spark, sfDir)
+      .repartition(7) // deliberately different partitioning than the query's
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(salted.sameElements(plain))
+  }
+
+  test("snapshot diff partitions the full key population, with a live added/changed split") {
+    val rows = ScaleOps.q106SnapshotDiff.fn(spark, sfDir).collect()
+    val byType = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    val totalKeys = EventOps.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(byType.keySet.subsetOf(Set("added", "changed", "unchanged")))
+    assert(rows.length == totalKeys)
+    // both interesting categories must actually occur on the fixture
+    assert(byType.getOrElse("added", 0) > 0)
+    assert(byType.getOrElse("changed", 0) > 0)
+    // an 'added' key has no old state; 'changed' keys differ by construction
+    rows.foreach { r =>
+      r.getString(2) match {
+        case "added"   => assert(r.isNullAt(4))
+        case "changed" => assert(r.getLong(3) != r.getLong(4))
+        case _         => assert(r.getLong(3) == r.getLong(4))
+      }
+    }
+  }
+
+  test("expectations report exactly the five named checks with true violation counts") {
+    val rows = ScaleOps.q107Expectations.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("lineitem_qty_range", "lineitem_pk_dupes",
+      "orders_orphan_cust", "documents_empty_text", "events_bad_type"))
+    // the fixture is clean on four checks — but its lineitem generator
+    // draws l_linenumber at random, so (l_orderkey, l_linenumber) is NOT
+    // unique; the uniqueness expectation must catch exactly that count
+    val li = Tables(spark, sfDir).lineitem
+    val expectedDupes =
+      li.count() - li.select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(expectedDupes > 0) // the check is provably non-vacuous here
+    assert(rows("lineitem_pk_dupes") == expectedDupes)
+    assert((rows - "lineitem_pk_dupes").values.forall(_ == 0L))
+  }
+
+  test("scd2: per-user intervals chain exactly (each valid_to = next valid_from) with one open row") {
+    val byUser = ScaleOps.q108Scd2Intervals.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (_, rows) =>
+      val chain = rows.sortBy(_._2)
+      // exactly one current (open-ended) row per user, and it is the last
+      assert(chain.count(_._3.isEmpty) == 1)
+      assert(chain.last._3.isEmpty)
+      // consecutive intervals are adjacent, never overlapping or gapped
+      chain.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) => assert(to == from)
+        case _ => ()
+      }
+    }
+  }
+}
