@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines: exact (hash groupBy),
@@ -310,6 +311,79 @@ object Dedup {
         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM cl"""))
 
+  /** EXACT similarity self-join at scale via prefix filtering (the
+    * AllPairs/PPJoin family, Bayardo et al. WWW'07) — the deterministic
+    * twin of q28: same contract (shingle-Jaccard ≥ 0.5 pairs, exact
+    * values, same oracle), but completeness holds BY CONSTRUCTION instead
+    * of by MinHash recall. Each doc's distinct hashed shingles are
+    * ordered rarest-first (ascending document frequency); a pair with
+    * Jaccard ≥ t MUST share a shingle within the first
+    * |d| − ⌈t·|d|⌉ + 1 of that ordering, so candidates come from an
+    * equi-join on PREFIX shingles only — the common shingles that drive
+    * the quadratic blowup never join. A length filter
+    * (t·|a| ≤ |b| ≤ |a|/t) prunes further; exact array-intersect Jaccard
+    * verifies candidates. Shingles (not tokens): this corpus's docs share
+    * most of their VOCABULARY (token-Jaccard ≥ 0.5 for 74% of all pairs —
+    * inherently quadratic output), while 3-token shingles separate true
+    * near-dups from template overlap. At 100 TB: df is a shingle-keyed
+    * hash-agg, prefixes shrink the join to rare shingles, the verify
+    * touches candidates only — no quadratic stage (PlanGuard-checked),
+    * no probabilistic recall argument needed.
+    */
+  val q109PrefixFilterJoin: QueryDef = QueryDef(
+    "q109_prefix_filter_join",
+    (s, dir) => {
+      val t = 0.5
+      val docs = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shd", array_distinct(
+          expr("transform(sequence(0, size(toks)-3), i -> xxhash64(toks[i], toks[i+1], toks[i+2]))")))
+        .select(col("doc_id"), col("shd"))
+        .localCheckpoint() // shared by prefix build AND verify — one shingle pass
+      val sh = docs.select(col("doc_id"), explode(col("shd")).as("h"),
+                           size(col("shd")).as("sz"))
+      val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("h").asc)
+      val prefix = sh.join(df, "h")
+        .withColumn("pos", row_number().over(wDoc))
+        .filter(col("pos") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+        .select(col("h"), col("doc_id"), col("sz"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.sz") * lit(t) <= col("a.sz") &&
+            col("a.sz") * lit(t) <= col("b.sz"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
+        .withColumn("jac",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jac") >= t)
+        .select(col("id_a"), col("id_b"), col("jac"))
+    },
+    // same brute-force oracle contract as q28: the shingle string ↔
+    // xxhash64 triple map is bijective modulo 64-bit collisions
+    Some("""WITH t AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '\w+') AS toks
+        FROM documents),
+      s AS (SELECT doc_id,
+          list_transform(range(1, len(toks)-1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        FROM t WHERE len(toks) >= 3)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""))
+
   val all: Seq[QueryDef] = Seq(q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash,
-    q78Decontamination, q79DupClusters)
+    q78Decontamination, q79DupClusters, q109PrefixFilterJoin)
 }

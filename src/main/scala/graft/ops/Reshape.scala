@@ -116,6 +116,32 @@ object Reshape {
       regexp_extract(p_name, '(\w+)$', 1) AS name_tail
       FROM part"""))
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws key = ln(u)/w from a DETERMINISTIC md5-derived uniform
+    * u ∈ (0,1] and weight w = n_chars; the top-50 keys ARE a weighted
+    * sample without replacement. Unlike rand()-based sampling this is
+    * reproducible across engines, runs, and partitionings, and the plan
+    * is one scan + TakeOrdered (no shuffle of the full table, no driver
+    * loop) — the standard way to draw a size-capped weighted corpus
+    * sample at 100 TB. u is built from the first 15 md5 hex digits (60
+    * bits), +1 so ln never sees 0.
+    */
+  val q112WeightedSample: QueryDef = QueryDef(
+    "q112_weighted_sample",
+    (s, dir) => Tables(s, dir).documents
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("double") + 1.0) / 1152921504606846976.0)
+      .withColumn("es_key", log(col("u")) / col("n_chars"))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(50)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+    Some("""SELECT doc_id, lang, source, n_chars FROM (
+        SELECT *, ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      + 1.0) / 1152921504606846976.0) / n_chars AS es_key
+        FROM documents)
+      ORDER BY es_key DESC, doc_id ASC LIMIT 50"""))
+
   val all: Seq[QueryDef] = Seq(q43Pivot, q44HashSample, q45LatestPerKey,
-    q46EditDistance, q47RegexExtract, q77StratifiedSample)
+    q46EditDistance, q47RegexExtract, q77StratifiedSample, q112WeightedSample)
 }

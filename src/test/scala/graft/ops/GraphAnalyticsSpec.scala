@@ -63,4 +63,24 @@ class GraphAnalyticsSpec extends SparkTestBase {
     val scores = rows.map(_.getAs[Double]("rrf"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q111: degree orientation counts every triangle exactly once (matches naive enumeration)") {
+    val byVertex = GraphAnalytics.q111TriangleCount.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive id-oriented enumeration, independently of the degree trick
+    val li = Tables(spark, sfDir).lineitem
+    val e = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("x"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("y")), "ok")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").count().filter(col("count") >= 2)
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var naive = Map.empty[Long, Long].withDefaultValue(0L)
+    for ((x, ys) <- adj; y <- ys; z <- adj.getOrElse(y, Set.empty) if ys(z)) {
+      naive = naive.updated(x, naive(x) + 1)
+        .updated(y, naive(y) + 1).updated(z, naive(z) + 1)
+    }
+    assert(naive.values.sum > 0, "fixture graph must contain triangles")
+    assert(byVertex == naive.toMap)
+  }
 }

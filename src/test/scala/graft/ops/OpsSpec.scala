@@ -137,4 +137,43 @@ class OpsSpec extends SparkTestBase {
   test("flagship entry() runs the engine end-to-end and returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("prefix-filter join is exact: identical pair set to brute force AND to the MinHash path") {
+    val fast = Dedup.q109PrefixFilterJoin.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shd", array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> xxhash64(toks[i], toks[i+1], toks[i+2]))")))
+    val brute = docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain near-dup pairs")
+    assert(fast == brute) // completeness AND precision — no candidate lost to the prefix cut
+    // the two scale paths — deterministic prefix filter and probabilistic
+    // MinHash banding — must agree pair-for-pair on this fixture
+    val minhash = Dedup.q28MinhashLsh.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == minhash)
+  }
+
+  test("weighted sample: deterministic, size-capped, and weight-biased") {
+    val s1 = Reshape.q112WeightedSample.fn(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val s2 = Reshape.q112WeightedSample.fn(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.size == 50)
+    // E-S with w = n_chars must skew the sample toward long docs: the
+    // sampled mean length should exceed the corpus mean
+    val t = Tables(spark, sfDir).documents
+    val corpusMean = t.agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = t.filter(col("doc_id").isin(s1.toSeq: _*))
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean)
+  }
 }
