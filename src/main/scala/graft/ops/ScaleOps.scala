@@ -172,6 +172,44 @@ object ScaleOps {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
                    event_id ASC NULLS FIRST)"""))
 
+  /** Z-order clustering layout (the Delta/Iceberg Z-ORDER primitive):
+    * assign every lineitem the Morton code of (l_partkey, l_suppkey) via
+    * the codegen'd [[graft.functions.ZInterleave]] expression, bucket by
+    * the code's high bits (= the file a Z-sorted writer would place the
+    * row in), and report each bucket's row count and 2D bounding
+    * rectangle. The rectangles ARE the layout's value: min/max column
+    * stats per file stay tight on BOTH dimensions at once, so a
+    * `part BETWEEN … AND supp BETWEEN …` scan prunes most buckets —
+    * which a 1D sort can only do for its leading column. The oracle
+    * rebuilds the identical bit-interleave as shift/mask SQL.
+    */
+  val q110ZorderLayout: QueryDef = QueryDef(
+    "q110_zorder_layout",
+    (s, dir) => {
+      val zed = Tables(s, dir).lineitem
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.functions.LayoutFunctions
+            .z_interleave(col("l_partkey"), col("l_suppkey")).as("z"))
+      // 256 equal z-ranges ≈ 256 files of a Z-sorted writer. The max-z
+      // read is a single-value action (the "plan the layout" step), the
+      // same pattern as the closure queries' driver-bound reads.
+      val zMax = zed.agg(max(col("z"))).head().getLong(0)
+      zed
+        .groupBy(expr(s"CAST(z * 256 DIV ${zMax + 1} AS BIGINT)").as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+             min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+    },
+    Some(s"""WITH z AS (SELECT l_partkey, l_suppkey,
+        ${graft.functions.LayoutFunctions.zInterleaveSql("l_partkey", "l_suppkey")} AS z
+      FROM lineitem)
+      SELECT CAST(z * 256 // ((SELECT MAX(z) FROM z) + 1) AS BIGINT) AS z_bucket,
+        COUNT(*) AS n_rows,
+        MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+        MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+      FROM z GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q105SaltedSkewAgg, q106SnapshotDiff, q107Expectations, q108Scd2Intervals)
+    Seq(q105SaltedSkewAgg, q106SnapshotDiff, q107Expectations, q108Scd2Intervals,
+        q110ZorderLayout)
 }
