@@ -209,7 +209,35 @@ object ScaleOps {
         MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
       FROM z GROUP BY 1"""))
 
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * stored view holds per-priority totals for history (< 1999-01-01);
+    * the refresh aggregates ONLY the delta partition and folds it into
+    * the stored partials — sums of decimal sums and sums of counts, so
+    * the merge is exact and associative. The oracle is the full
+    * recompute over all of history: incremental ≡ full is the entire
+    * point. At 100 TB the delta is a day's partition and the view is a
+    * few rows per key — refresh cost is O(delta), not O(history).
+    */
+  val q113IncrementalAgg: QueryDef = QueryDef(
+    "q113_incremental_agg",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      def partials(df: DataFrame): DataFrame = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"),
+             sum(col("o_totalprice").cast(M)).as("pv"))
+      val view  = partials(o.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")))
+      val delta = partials(o.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")))
+      view.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("pn")).as("n_orders"),
+             sum(col("pv")).cast("double").as("revenue"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q105SaltedSkewAgg, q106SnapshotDiff, q107Expectations, q108Scd2Intervals,
-        q110ZorderLayout)
+        q110ZorderLayout, q113IncrementalAgg)
 }

@@ -150,6 +150,54 @@ object TextOps {
           t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks) AS top_token_share
       FROM g"""))
 
+  /** Chi-square keyness: which tokens are over/under-represented in each
+    * source vs the rest of the corpus — the standard corpus-comparison
+    * statistic for spotting source-specific boilerplate or topic drift
+    * before mixing sources into a training set. From the 2×2 table
+    * (a = token-in-source, with marginals ta = token total, sa = source
+    * total, n = grand total): χ² = n·(ad−bc)² / (ta·(n−ta)·sa·(n−sa)).
+    * Shapes: one (source, token) hash-agg over the exploded tokens, then
+    * broadcast joins against the tiny marginal frames — at 100 TB the
+    * marginals are |vocab| + |sources| rows regardless of corpus size.
+    * (ad−bc) is computed in exact int64 BEFORE squaring in double, and
+    * the double expression tree is mirrored in the oracle so IEEE
+    * determinism gives bit parity.
+    */
+  val q114Chi2Keyness: QueryDef = QueryDef(
+    "q114_chi2_keyness",
+    (s, dir) => {
+      val tok = Tables(s, dir).documents
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+      val n = tok.count() // one scalar driver read — the only action
+      val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("a"))
+      val ta = tok.groupBy(col("token")).agg(count(lit(1)).as("ta"))
+      val sa = tok.groupBy(col("source")).agg(count(lit(1)).as("sa"))
+      st.join(broadcast(ta), "token").join(broadcast(sa), "source")
+        .withColumn("b", col("ta") - col("a"))
+        .withColumn("c", col("sa") - col("a"))
+        .withColumn("d", lit(n) - col("ta") - col("sa") + col("a"))
+        // exact int64 cross-product difference, THEN double math
+        .withColumn("diff", col("a") * col("d") - col("b") * col("c"))
+        .withColumn("chi2", round(
+          lit(n.toDouble) * (col("diff").cast("double") * col("diff").cast("double")) /
+            ((col("ta") * (lit(n) - col("ta"))).cast("double") *
+             (col("sa") * (lit(n) - col("sa"))).cast("double")), 4))
+        .select(col("source"), col("token"), col("a").as("n_in_source"), col("chi2"))
+    },
+    Some("""WITH tok AS (
+        SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+        FROM documents),
+      st AS (SELECT source, token, COUNT(*) AS a FROM tok GROUP BY 1, 2),
+      ta AS (SELECT token, COUNT(*) AS ta FROM tok GROUP BY 1),
+      sa AS (SELECT source, COUNT(*) AS sa FROM tok GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM tok)
+      SELECT st.source, st.token, a AS n_in_source,
+        round(CAST(n AS DOUBLE) *
+          (CAST(a*(n - ta - sa + a) - (ta - a)*(sa - a) AS DOUBLE)
+           * CAST(a*(n - ta - sa + a) - (ta - a)*(sa - a) AS DOUBLE)) /
+          (CAST(ta*(n - ta) AS DOUBLE) * CAST(sa*(n - sa) AS DOUBLE)), 4) AS chi2
+      FROM st JOIN ta USING (token) JOIN sa USING (source) CROSS JOIN n"""))
+
   val all: Seq[QueryDef] = Seq(q22TokenStats, q23TextQuality, q24LangId, q25Fingerprint,
-    q76Repetition)
+    q76Repetition, q114Chi2Keyness)
 }

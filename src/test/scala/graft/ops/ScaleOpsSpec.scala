@@ -58,6 +58,39 @@ class ScaleOpsSpec extends SparkTestBase {
     assert((rows - "lineitem_pk_dupes").values.forall(_ == 0L))
   }
 
+  test("incremental aggregate maintenance: any cutoff folds to the identical view") {
+    // the registered query uses the 1999-01-01 cutoff; re-derive the same
+    // view from two OTHER split points — partial-merge must be cutoff-invariant
+    def viewAt(cutoff: String): Map[String, (Long, Double)] = {
+      val o = Tables(spark, sfDir).orders
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"), sum(col("o_totalprice").cast("decimal(18,4)")).as("pv"))
+      partials(o.filter(col("o_orderdate") < lit(cutoff).cast("timestamp")))
+        .unionByName(partials(o.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("rev"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    }
+    val registered = ScaleOps.q113IncrementalAgg.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(registered == viewAt("1996-06-15"))
+    assert(registered == viewAt("2000-12-31"))
+  }
+
+  test("chi2 keyness: non-negative, and per-source counts sum to the source totals") {
+    val rows = TextOps.q114Chi2Keyness.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(3) >= 0.0))
+    val bySource = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val truth = Tables(spark, sfDir).documents
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == truth)
+  }
+
   test("scd2: per-user intervals chain exactly (each valid_to = next valid_from) with one open row") {
     val byUser = ScaleOps.q108Scd2Intervals.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3),
