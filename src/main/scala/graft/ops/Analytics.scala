@@ -111,5 +111,77 @@ object Analytics {
         9) AS corr_qty_price
       FROM lineitem GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q36GroupingSets, q37Percentiles, q38AnalyticWindows, q54MomentStats)
+  /** Catalog statistics collection (the ANALYZE TABLE pass): per column —
+    * row count, exact NDV, null count, numeric min/max. These are the
+    * numbers a cost-based optimizer joins/reorders by and a 100 TB
+    * deployment refreshes after every load; each table contributes ONE
+    * single-pass aggregate (all of its columns' stats computed together,
+    * then unpivoted via stack), so the whole query reads each table once.
+    */
+  val q116TableStats: QueryDef = QueryDef(
+    "q116_table_stats",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def stats(df: org.apache.spark.sql.DataFrame, table: String,
+                cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val aggs = cols.flatMap { c =>
+          Seq(count(col(c)).as(s"${c}__cnt"),
+              countDistinct(col(c)).as(s"${c}__ndv"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+              min(col(c)).cast("double").as(s"${c}__min"),
+              max(col(c)).cast("double").as(s"${c}__max"))
+        }
+        val stacked = cols.map(c =>
+          s"'$table', '$c', ${c}__cnt, ${c}__ndv, ${c}__nulls, ${c}__min, ${c}__max")
+          .mkString(", ")
+        df.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"""stack(${cols.size}, $stacked)
+            AS (table_name, column_name, n_values, ndv, n_nulls, min_d, max_d)""")
+      }
+      stats(t.orders, "orders", Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .unionByName(stats(t.lineitem, "lineitem",
+          Seq("l_quantity", "l_extendedprice", "l_partkey")))
+        .unionByName(stats(t.documents, "documents", Seq("doc_id", "n_chars")))
+        .unionByName(stats(EventOps.events(s, dir), "events",
+          Seq("user_id", "value")))
+    },
+    Some("""SELECT 'orders' AS table_name, col AS column_name, n_values, ndv, n_nulls, min_d, max_d
+      FROM (
+        SELECT unnest(['o_orderkey','o_custkey','o_totalprice']) AS col,
+          unnest([COUNT(o_orderkey), COUNT(o_custkey), COUNT(o_totalprice)]) AS n_values,
+          unnest([COUNT(DISTINCT o_orderkey), COUNT(DISTINCT o_custkey), COUNT(DISTINCT o_totalprice)]) AS ndv,
+          unnest([COUNT(*) - COUNT(o_orderkey), COUNT(*) - COUNT(o_custkey), COUNT(*) - COUNT(o_totalprice)]) AS n_nulls,
+          unnest([CAST(MIN(o_orderkey) AS DOUBLE), CAST(MIN(o_custkey) AS DOUBLE), CAST(MIN(o_totalprice) AS DOUBLE)]) AS min_d,
+          unnest([CAST(MAX(o_orderkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)]) AS max_d
+        FROM orders)
+      UNION ALL
+      SELECT 'lineitem', col, n_values, ndv, n_nulls, min_d, max_d FROM (
+        SELECT unnest(['l_quantity','l_extendedprice','l_partkey']) AS col,
+          unnest([COUNT(l_quantity), COUNT(l_extendedprice), COUNT(l_partkey)]) AS n_values,
+          unnest([COUNT(DISTINCT l_quantity), COUNT(DISTINCT l_extendedprice), COUNT(DISTINCT l_partkey)]) AS ndv,
+          unnest([COUNT(*) - COUNT(l_quantity), COUNT(*) - COUNT(l_extendedprice), COUNT(*) - COUNT(l_partkey)]) AS n_nulls,
+          unnest([CAST(MIN(l_quantity) AS DOUBLE), CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MIN(l_partkey) AS DOUBLE)]) AS min_d,
+          unnest([CAST(MAX(l_quantity) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE)]) AS max_d
+        FROM lineitem)
+      UNION ALL
+      SELECT 'documents', col, n_values, ndv, n_nulls, min_d, max_d FROM (
+        SELECT unnest(['doc_id','n_chars']) AS col,
+          unnest([COUNT(doc_id), COUNT(n_chars)]) AS n_values,
+          unnest([COUNT(DISTINCT doc_id), COUNT(DISTINCT n_chars)]) AS ndv,
+          unnest([COUNT(*) - COUNT(doc_id), COUNT(*) - COUNT(n_chars)]) AS n_nulls,
+          unnest([CAST(MIN(doc_id) AS DOUBLE), CAST(MIN(n_chars) AS DOUBLE)]) AS min_d,
+          unnest([CAST(MAX(doc_id) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE)]) AS max_d
+        FROM documents)
+      UNION ALL
+      SELECT 'events', col, n_values, ndv, n_nulls, min_d, max_d FROM (
+        SELECT unnest(['user_id','value']) AS col,
+          unnest([COUNT(user_id), COUNT(value)]) AS n_values,
+          unnest([COUNT(DISTINCT user_id), COUNT(DISTINCT value)]) AS ndv,
+          unnest([COUNT(*) - COUNT(user_id), COUNT(*) - COUNT(value)]) AS n_nulls,
+          unnest([CAST(MIN(user_id) AS DOUBLE), CAST(MIN(value) AS DOUBLE)]) AS min_d,
+          unnest([CAST(MAX(user_id) AS DOUBLE), CAST(MAX(value) AS DOUBLE)]) AS max_d
+        FROM events)"""))
+
+  val all: Seq[QueryDef] = Seq(q36GroupingSets, q37Percentiles, q38AnalyticWindows, q54MomentStats,
+    q116TableStats)
 }

@@ -110,5 +110,52 @@ object Joins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  val all: Seq[QueryDef] = Seq(q39OuterJoin, q40LeftJoin, q41MinMaxBy, q42ArrayFuncs)
+  /** Blocked fuzzy best-match join (record linkage): every src0 document
+    * is matched to its closest same-language document from any OTHER
+    * source — closest by edit distance over the 80-char head, searched
+    * only among docs within 40 chars of its length. The length band is
+    * part of the CONTRACT (a true match differing by more than the band
+    * isn't a near-duplicate), and it is what makes the join scale: the
+    * blocking key (lang, n_chars div 40) is an EQUI key once the probe
+    * side explodes its ±1 buckets, so |b_a − b_b| ≤ 1 covers the whole
+    * band and the quadratic work is confined to (lang × bucket) blocks.
+    * Best match per left row is one max_by struct agg — no window sort.
+    */
+  val q115FuzzyJoin: QueryDef = QueryDef(
+    "q115_fuzzy_join",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+                substring(col("text"), 1, 80).as("head"))
+      val left = d.filter(col("source") === "src0")
+        .withColumn("b0", floor(col("n_chars") / 40).cast("long"))
+        .select(col("lang"), col("doc_id").as("id_a"), col("n_chars").as("len_a"),
+                col("head").as("head_a"),
+                explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("b"))
+      val right = d.filter(col("source") =!= "src0")
+        .select(col("lang"), col("doc_id").as("id_b"), col("n_chars").as("len_b"),
+                col("head").as("head_b"),
+                floor(col("n_chars") / 40).cast("long").as("b"))
+      left.join(right, Seq("lang", "b"))
+        .filter(abs(col("len_a") - col("len_b")) <= 40)
+        .withColumn("dist", levenshtein(col("head_a"), col("head_b")).cast("long"))
+        .groupBy(col("id_a"))
+        .agg(min(struct(col("dist"), col("id_b"))).as("m"))
+        .select(col("id_a"), col("m.id_b").as("best_id"),
+                col("m.dist").as("dist"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, source, n_chars,
+          substr(text, 1, 80) AS head FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        FROM d a JOIN d b ON a.lang = b.lang AND b.source <> 'src0'
+          AND abs(a.n_chars - b.n_chars) <= 40
+        WHERE a.source = 'src0')
+      SELECT id_a, id_b AS best_id, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY dist, id_b) AS rn
+        FROM pairs) WHERE rn = 1"""))
+
+  val all: Seq[QueryDef] = Seq(q39OuterJoin, q40LeftJoin, q41MinMaxBy, q42ArrayFuncs,
+    q115FuzzyJoin)
 }

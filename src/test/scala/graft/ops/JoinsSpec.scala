@@ -88,4 +88,45 @@ class JoinsSpec extends SparkTestBase {
     assert(plan.contains("band_hash"), plan.take(2000))
     assert(!plan.contains("sala"), plan.take(2000))
   }
+
+  test("fuzzy join: bucket blocking finds the identical best match as the unblocked scan") {
+    val fast = Joins.q115FuzzyJoin.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val d = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              substring(col("text"), 1, 80).as("head"))
+    val brute = d.filter(col("source") === "src0")
+      .select(col("lang"), col("doc_id").as("id_a"), col("n_chars").as("la"),
+              col("head").as("ha"))
+      .join(d.filter(col("source") =!= "src0")
+        .select(col("lang"), col("doc_id").as("id_b"), col("n_chars").as("lb"),
+                col("head").as("hb")), Seq("lang"))
+      .filter(abs(col("la") - col("lb")) <= 40) // the contract's band, NO buckets
+      .withColumn("dist", levenshtein(col("ha"), col("hb")).cast("long"))
+      .groupBy(col("id_a"))
+      .agg(min(struct(col("dist"), col("id_b"))).as("m"))
+      .select(col("id_a"), col("m.id_b"), col("m.dist"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(brute.nonEmpty)
+    assert(fast == brute) // ±1 bucket explode covers the whole band
+  }
+
+  test("table stats: exact NDV/null/min-max agree with direct per-column queries") {
+    val rows = Analytics.q116TableStats.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(rows.size == 10)
+    val o = Tables(spark, sfDir).orders
+    val expected = (
+      o.count(),
+      o.select(col("o_custkey")).distinct().count(),
+      0L,
+      o.agg(min(col("o_custkey"))).head().getLong(0).toDouble,
+      o.agg(max(col("o_custkey"))).head().getLong(0).toDouble)
+    assert(rows(("orders", "o_custkey")) == expected)
+    // invariants across every column: ndv ≤ n_values, nulls ≥ 0, min ≤ max
+    rows.values.foreach { case (n, ndv, nulls, mn, mx) =>
+      assert(ndv <= n && nulls >= 0 && mn <= mx)
+    }
+  }
 }
