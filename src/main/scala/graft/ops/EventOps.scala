@@ -174,6 +174,84 @@ object EventOps {
       WHERE e_us >= win_us AND e_us < win_us + 3600000000
       GROUP BY 1, 2"""))
 
+  /** Time-series resampling with LINEAR interpolation (q73's forward-fill
+    * is the step-function cousin): per-user daily purchase means resampled
+    * onto each user's complete day spine, gaps filled by interpolating
+    * between the surrounding observations
+    * (v = v_prev + (v_next − v_prev)·(d − d_prev)/(d_next − d_prev)),
+    * boundary gaps clamped to the nearest observation. The spine is a
+    * per-user `sequence` + explode (no cross join); prev/next observations
+    * come from two IGNORE-NULLS window frames over the day order — all
+    * work partitions by user, so 1000 executors each interpolate their
+    * own keys. Interpolation math is mirrored expression-for-expression
+    * in the oracle (IEEE determinism), rounded at 6 decimals.
+    */
+  val q117LinearInterp: QueryDef = QueryDef(
+    "q117_linear_interp",
+    (s, dir) => {
+      val M4 = DecimalType(18, 4)
+      val obs = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("user_id"), col("day"))
+        .agg((sum(col("value").cast(M4)) / count(lit(1))).cast("double").as("v"))
+      val spine = obs.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(obs, Seq("user_id", "day"), "left_outer")
+        .withColumn("dn", datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("v").isNotNull, col("dn")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("v").isNotNull, col("dn")), ignoreNulls = true).over(wNext))
+        .withColumn("v_filled", round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("dn") - col("pd")).cast("double") /
+              (col("nd") - col("pd")).cast("double")), 6))
+        .withColumn("observed", when(col("v").isNotNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("day"), col("v_filled"), col("observed"))
+    },
+    Some("""WITH obs AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id, unnest(generate_series(MIN(day), MAX(day),
+          INTERVAL 1 DAY))::DATE AS day
+        FROM obs GROUP BY user_id),
+      j AS (
+        SELECT s.user_id, s.day, obs.v,
+          s.day - DATE '2024-01-01' AS dn
+        FROM spine s LEFT JOIN obs ON obs.user_id = s.user_id AND obs.day = s.day),
+      f AS (
+        SELECT *,
+          LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+          LAST_VALUE(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS) OVER wp AS pd,
+          FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+          FIRST_VALUE(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS) OVER wn AS nd
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wn AS (PARTITION BY user_id ORDER BY day ASC
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, day,
+        round(CASE WHEN v IS NOT NULL THEN v
+          WHEN pv IS NULL THEN nv
+          WHEN nv IS NULL THEN pv
+          ELSE pv + (nv - pv) * CAST(dn - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)
+        END, 6) AS v_filled,
+        CASE WHEN v IS NOT NULL THEN CAST(1 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS observed
+      FROM f"""))
+
   val all: Seq[QueryDef] = Seq(q17JsonExtract, q18AsofJoin, q19Sessionize, q20Tumbling,
-    q48IntervalJoin, q49SlidingWindow)
+    q48IntervalJoin, q49SlidingWindow, q117LinearInterp)
 }

@@ -91,6 +91,33 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(bySource == truth)
   }
 
+  test("linear interpolation: full spine, bounded between neighbors, exact on observed days") {
+    val rows = EventOps.q117LinearInterp.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (_, days) =>
+      val sorted = days.sortBy(_._2)
+      // spine completeness: consecutive days, no gaps
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 == a._2.plusDays(1))
+        case _ => ()
+      }
+      // every interpolated day lies within [min, max] of the two nearest
+      // observed values around it
+      val obsIdx = sorted.zipWithIndex.filter(_._1._4 == 1L).map(_._2)
+      sorted.zipWithIndex.filter(_._1._4 == 0L).foreach { case ((_, _, v, _), i) =>
+        val prev = obsIdx.filter(_ < i).lastOption.map(sorted(_)._3)
+        val next = obsIdx.find(_ > i).map(sorted(_)._3)
+        val bounds = Seq(prev, next).flatten
+        assert(bounds.nonEmpty && v >= bounds.min - 1e-9 && v <= bounds.max + 1e-9)
+      }
+      // boundaries are observed by construction (spine spans min..max day)
+      assert(sorted.head._4 == 1L && sorted.last._4 == 1L)
+    }
+  }
+
   test("scd2: per-user intervals chain exactly (each valid_to = next valid_from) with one open row") {
     val byUser = ScaleOps.q108Scd2Intervals.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3),
