@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => LevenshteinLengthGuard)
   }
 }
