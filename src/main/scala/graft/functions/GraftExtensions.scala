@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => LevenshteinLengthGuard)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -75,6 +75,39 @@ object EventOps {
              c.click_id, epoch_us(c.ts) AS click_ts_us
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""))
 
+  /** The SAME as-of contract as q18, executed by the NATIVE operator
+    * ([[graft.plans.AsofJoinPlan]] → AsofJoinStrategy → AsofJoinExec):
+    * a custom logical node planned by an injected SparkStrategy into a
+    * physical sort-merge forward pass — one Exchange per side on
+    * user_id, one buffered right row per partition, O(|L|+|R|). q18's
+    * union+window formulation funnels BOTH sides through one window
+    * stream; the native operator keeps them separate and streaming.
+    * Same oracle as q18 — two implementations, one contract.
+    */
+  val q118AsofNative: QueryDef = QueryDef(
+    "q118_asof_native",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("click_id"))
+      graft.plans.AsofJoin(purchases, clicks,
+          key = "user_id", leftTime = "ts", rightTime = "click_ts")
+        .toDF("event_id", "user_id", "ts", "r_user_id", "click_ts", "click_id")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("click_id"),
+          unix_micros(col("click_ts")).as("click_ts_us"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             c.click_id, epoch_us(c.ts) AS click_ts_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+
   /** Sessionization: 30-minute-gap sessions per user (gaps-and-islands:
     * lag → new-session flag → running sum → aggregate). */
   val q19Sessionize: QueryDef = QueryDef(
@@ -253,5 +286,5 @@ object EventOps {
       FROM f"""))
 
   val all: Seq[QueryDef] = Seq(q17JsonExtract, q18AsofJoin, q19Sessionize, q20Tumbling,
-    q48IntervalJoin, q49SlidingWindow, q117LinearInterp)
+    q48IntervalJoin, q49SlidingWindow, q117LinearInterp, q118AsofNative)
 }

@@ -1,0 +1,54 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.ops.EventOps
+import org.apache.spark.sql.functions._
+
+/** The native as-of operator must agree row-for-row with the
+  * union+window formulation (q18), plan exactly one exchange per side,
+  * and handle the edge cases (no prior match → null pad, ties → latest). */
+class AsofJoinSpec extends SparkTestBase {
+
+  test("native as-of join returns exactly the union+window result") {
+    val native = EventOps.q118AsofNative.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    val window = EventOps.q18AsofJoin.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(window.nonEmpty)
+    assert(native == window)
+    // left-outer: some purchase must precede any click for the null pad
+    // to be exercised — if not, the fixture can't catch a broken pad
+    assert(native.exists(_._4.isEmpty))
+  }
+
+  test("plan: AsofJoinExec with one exchange per side, sorted on (key, time)") {
+    val df = EventOps.q118AsofNative.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected AsofJoinExec in:\n$plan")
+    // exactly three: one for the clicks-side pre-aggregation (hash on
+    // (user_id, ts), which cannot satisfy clustering on user_id alone),
+    // plus the join's one exchange per side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 3, s"expected exactly 3 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("synthetic edges: ties take the latest right row, equal times match, no-match pads null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 7L, 102L))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, 200L), (1L, 5L, 201L), (1L, 9L, 202L), (3L, 1L, 203L))
+      .toDF("k", "t", "rv")
+    val out = AsofJoin(left, right, key = "k", leftTime = "t", rightTime = "t")
+      .toDF("k", "t", "lv", "rk", "rt", "rv")
+      .select(col("lv"), col("rv")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(100L) == Some(202L)) // latest at-or-before t=10
+    assert(out(101L) == Some(201L)) // equal-time match; later row wins the tie
+    assert(out(102L) == None)       // key with no right rows → null pad
+  }
+}
