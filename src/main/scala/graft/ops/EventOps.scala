@@ -285,6 +285,52 @@ object EventOps {
              ELSE CAST(0 AS BIGINT) END AS observed
       FROM f"""))
 
+  /** Binned range join — the containment join with NO equi key, which
+    * Spark would otherwise plan as a nested-loop: each event matched to
+    * the maintenance window containing it (36 derived 6-hour windows
+    * spaced 20 hours apart over January). The bin trick makes it an
+    * EQUI-join: time is quantized to 6-hour bins, each interval explodes
+    * to the bins it covers (≤2 here), events join on their single bin,
+    * and the exact containment predicate filters the candidates. At
+    * 100 TB the fan-out per event is the number of intervals per bin —
+    * bounded by construction — instead of |intervals|. All arithmetic is
+    * epoch-microsecond integers, so the oracle (a plain theta join) is
+    * timezone-free and exact.
+    */
+  val q119BinRangeJoin: QueryDef = QueryDef(
+    "q119_bin_range_join",
+    (s, dir) => {
+      val binUs = 21600000000L // 6 h
+      val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+      val periods = s.range(36)
+        .select(col("id").as("period_id"),
+          (lit(baseUs) + col("id") * lit(72000000000L)).as("w_start_us")) // 20 h spacing
+        .withColumn("w_end_us", col("w_start_us") + lit(binUs)) // 6 h long
+        .withColumn("bin", explode(sequence(
+          expr(s"w_start_us div ${binUs}L"),
+          expr(s"(w_end_us - 1) div ${binUs}L"))))
+      val ev = events(s, dir)
+        .select(col("event_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("bin", expr(s"ts_us div ${binUs}L"))
+      ev.join(periods, "bin")
+        .filter(col("ts_us") >= col("w_start_us") && col("ts_us") < col("w_end_us"))
+        .groupBy(col("period_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast(M)).cast("double").as("total_value"))
+    },
+    Some("""WITH periods AS (
+        SELECT i AS period_id,
+          1704067200000000 + i * 72000000000 AS w_start_us,
+          1704067200000000 + i * 72000000000 + 21600000000 AS w_end_us
+        FROM range(0, 36) t(i)),
+      ev AS (SELECT event_id, value, epoch_us(ts) AS ts_us FROM events)
+      SELECT period_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM ev JOIN periods
+        ON ev.ts_us >= w_start_us AND ev.ts_us < w_end_us
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q17JsonExtract, q18AsofJoin, q19Sessionize, q20Tumbling,
-    q48IntervalJoin, q49SlidingWindow, q117LinearInterp, q118AsofNative)
+    q48IntervalJoin, q49SlidingWindow, q117LinearInterp, q118AsofNative,
+    q119BinRangeJoin)
 }

@@ -118,6 +118,29 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("binned range join: identical to the unbinned containment join, and every event maps to at most one window") {
+    val binned = EventOps.q119BinRangeJoin.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // brute-force containment (tiny interval side, crossJoin is fine in a test)
+    val periods = spark.range(36)
+      .select(col("id").as("period_id"),
+        (lit(1704067200000000L) + col("id") * lit(72000000000L)).as("ws"))
+      .withColumn("we", col("ws") + lit(21600000000L))
+    val brute = EventOps.events(spark, sfDir)
+      .select(col("value"), unix_micros(col("ts")).as("ts_us"))
+      .crossJoin(periods)
+      .filter(col("ts_us") >= col("ws") && col("ts_us") < col("we"))
+      .groupBy(col("period_id"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,4)")).cast("double").as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(brute.nonEmpty && binned == brute)
+    // windows are disjoint (6h long, 20h apart): totals never double-count
+    val totalMatched = binned.values.map(_._1).sum
+    val totalEvents = EventOps.events(spark, sfDir).count()
+    assert(totalMatched <= totalEvents)
+  }
+
   test("scd2: per-user intervals chain exactly (each valid_to = next valid_from) with one open row") {
     val byUser = ScaleOps.q108Scd2Intervals.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3),
