@@ -30,4 +30,13 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Surface what a SparkSessionExtensions instance would inject (the
+    * builder methods are private[sql]) so the extension wiring is
+    * testable without constructing a second SparkSession. */
+  def injectedState(e: org.apache.spark.sql.SparkSessionExtensions,
+                    spark: org.apache.spark.sql.SparkSession) = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    (e.buildOptimizerRules(s), e.buildPlannerStrategies(s))
+  }
 }
