@@ -182,6 +182,51 @@ object Analytics {
           unnest([CAST(MAX(user_id) AS DOUBLE), CAST(MAX(value) AS DOUBLE)]) AS max_d
         FROM events)"""))
 
+  /** Robust outlier gate via MAD (median absolute deviation): per event
+    * type, the median value, the MAD, and how many events sit more than
+    * 5 MADs from the median. Unlike a z-score (q99's shape), median/MAD
+    * are robust to the very outliers being hunted. Two exact-percentile
+    * aggregations with a broadcast join back between them — at scale the
+    * per-group medians are exact single-pass sorts within hash groups,
+    * and the deviation pass is a projection. Exact interpolated
+    * percentile ≡ DuckDB quantile_cont (q37's proven parity).
+    */
+  val q124MadOutliers: QueryDef = QueryDef(
+    "q124_mad_outliers",
+    (s, dir) => {
+      val ev = EventOps.events(s, dir)
+        .select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med_v"),
+             first(col("mad")).as("mad_v"),
+             sum(when(col("adev") > col("mad") * 5.0, 1L).otherwise(0L))
+               .cast("long").as("n_outliers"))
+        .select(col("event_type"), round(col("med_v"), 6).as("med"),
+                round(col("mad_v"), 6).as("mad"), col("n_outliers"))
+    },
+    Some("""WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT e.event_type, e.value, med.med,
+          abs(e.value - med.med) AS adev
+        FROM events e JOIN med ON e.event_type = med.event_type),
+      mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT dev.event_type, round(MIN(dev.med), 6) AS med,
+        round(MIN(mad.mad), 6) AS mad,
+        CAST(COUNT(*) FILTER (WHERE dev.adev > mad.mad * 5.0) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad ON dev.event_type = mad.event_type
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q36GroupingSets, q37Percentiles, q38AnalyticWindows, q54MomentStats,
-    q116TableStats)
+    q116TableStats, q124MadOutliers)
 }

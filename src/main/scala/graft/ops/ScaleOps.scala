@@ -237,7 +237,53 @@ object ScaleOps {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM orders GROUP BY 1"""))
 
+  /** Compliance delete audit (right-to-be-forgotten): a deterministic
+    * forget-set of customers (md5 gate, ~1/16) cascades through the FK
+    * chain customer → orders → lineitem; the audit reports per table how
+    * many rows the purge removes and keeps. The cascade is two
+    * semi-joins down the chain (orderkeys broadcast once); at 100 TB
+    * this is the dry-run every deletion pipeline executes before
+    * rewriting files. The purge is also the q26-style idempotent shape:
+    * re-running it deletes nothing new.
+    */
+  val q123ComplianceDelete: QueryDef = QueryDef(
+    "q123_compliance_delete",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val forget = t.customer
+        .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "7")
+        .select(col("c_custkey"))
+      val purgedOrders = t.orders
+        .join(forget, col("o_custkey") === col("c_custkey"), "left_semi")
+      val purgedLineitem = t.lineitem
+        .join(purgedOrders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val nC = t.customer.count(); val pC = forget.count()
+      val nO = t.orders.count();   val pO = purgedOrders.count()
+      val nL = t.lineitem.count(); val pL = purgedLineitem.count()
+      import s.implicits._
+      Seq(("customer", pC, nC - pC), ("orders", pO, nO - pO),
+          ("lineitem", pL, nL - pL))
+        .toDF("table_name", "n_purged", "n_kept")
+    },
+    Some("""WITH forget AS (
+        SELECT c_custkey FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '7'),
+      po AS (SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+      pl AS (SELECT 1 AS x FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+      SELECT 'customer' AS table_name,
+        (SELECT COUNT(*) FROM forget) AS n_purged,
+        (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM forget) AS n_kept
+      UNION ALL
+      SELECT 'orders', (SELECT COUNT(*) FROM po),
+        (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM po)
+      UNION ALL
+      SELECT 'lineitem', (SELECT COUNT(*) FROM pl),
+        (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM pl)"""))
+
   val all: Seq[QueryDef] =
     Seq(q105SaltedSkewAgg, q106SnapshotDiff, q107Expectations, q108Scd2Intervals,
-        q110ZorderLayout, q113IncrementalAgg)
+        q110ZorderLayout, q113IncrementalAgg, q123ComplianceDelete)
 }

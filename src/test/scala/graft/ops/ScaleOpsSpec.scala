@@ -141,6 +141,42 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(totalMatched <= totalEvents)
   }
 
+  test("compliance delete: purged + kept conserves every table, cascade is FK-consistent") {
+    val rows = ScaleOps.q123ComplianceDelete.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val t = Tables(spark, sfDir)
+    assert(rows("customer")._1 + rows("customer")._2 == t.customer.count())
+    assert(rows("orders")._1 + rows("orders")._2 == t.orders.count())
+    assert(rows("lineitem")._1 + rows("lineitem")._2 == t.lineitem.count())
+    assert(rows("customer")._1 > 0, "the md5 gate must select a non-empty forget set")
+    // every purged order belongs to a purged customer — no over-deletion
+    val forget = t.customer
+      .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "7")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val purgedOrders = t.orders
+      .filter(col("o_custkey").isin(forget.toSeq: _*)).count()
+    assert(rows("orders")._1 == purgedOrders)
+  }
+
+  test("mad outliers: medians inside the value range, outliers a small robust tail") {
+    val rows = Analytics.q124MadOutliers.fn(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val (mn, mx) = {
+      val r = EventOps.events(spark, sfDir).agg(min(col("value")), max(col("value"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= mn && r.getDouble(1) <= mx) // med in range
+      assert(r.getDouble(2) >= 0.0)                        // MAD non-negative
+      assert(r.getLong(3) >= 0)
+    }
+    // by construction at least half of each group is within 1 MAD, so the
+    // 5-MAD tail can never reach half the group
+    val sizes = EventOps.events(spark, sfDir).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(3) < sizes(r.getString(0)) / 2))
+  }
+
   test("scd2: per-user intervals chain exactly (each valid_to = next valid_from) with one open row") {
     val byUser = ScaleOps.q108Scd2Intervals.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3),
