@@ -250,21 +250,30 @@ object ScaleOps {
     "q123_compliance_delete",
     (s, dir) => {
       val t = Tables(s, dir)
-      val forget = t.customer
-        .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "7")
-        .select(col("c_custkey"))
-      val purgedOrders = t.orders
-        .join(forget, col("o_custkey") === col("c_custkey"), "left_semi")
-      val purgedLineitem = t.lineitem
-        .join(purgedOrders.select(col("o_orderkey")),
-          col("l_orderkey") === col("o_orderkey"), "left_semi")
-      val nC = t.customer.count(); val pC = forget.count()
-      val nO = t.orders.count();   val pO = purgedOrders.count()
-      val nL = t.lineitem.count(); val pL = purgedLineitem.count()
-      import s.implicits._
-      Seq(("customer", pC, nC - pC), ("orders", pO, nO - pO),
-          ("lineitem", pL, nL - pL))
-        .toDF("table_name", "n_purged", "n_kept")
+      val gate = substring(md5(col("c_custkey").cast("string")), 1, 1) === "7"
+      val forget = t.customer.filter(gate).select(col("c_custkey"))
+      // ONE declarative plan, one action: each table's purge/keep split is
+      // a flag join + conditional aggregate, unioned — no driver-side
+      // counting loop, so the audit is a single job at any scale
+      val custAudit = t.customer.agg(
+          sum(when(gate, 1L).otherwise(0L)).as("n_purged"),
+          sum(when(gate, 0L).otherwise(1L)).as("n_kept"))
+        .select(lit("customer").as("table_name"), col("n_purged"), col("n_kept"))
+      val flaggedOrders = t.orders
+        .join(forget, col("o_custkey") === col("c_custkey"), "left_outer")
+      val orderAudit = flaggedOrders.agg(
+          sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("n_purged"),
+          sum(when(col("c_custkey").isNotNull, 0L).otherwise(1L)).as("n_kept"))
+        .select(lit("orders").as("table_name"), col("n_purged"), col("n_kept"))
+      val purgedKeys = flaggedOrders.filter(col("c_custkey").isNotNull)
+        .select(col("o_orderkey"))
+      val lineAudit = t.lineitem
+        .join(purgedKeys, col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .agg(
+          sum(when(col("o_orderkey").isNotNull, 1L).otherwise(0L)).as("n_purged"),
+          sum(when(col("o_orderkey").isNotNull, 0L).otherwise(1L)).as("n_kept"))
+        .select(lit("lineitem").as("table_name"), col("n_purged"), col("n_kept"))
+      custAudit.unionByName(orderAudit).unionByName(lineAudit)
     },
     Some("""WITH forget AS (
         SELECT c_custkey FROM customer
