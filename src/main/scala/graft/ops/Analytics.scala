@@ -227,6 +227,70 @@ object Analytics {
       FROM dev JOIN mad ON dev.event_type = mad.event_type
       GROUP BY 1"""))
 
+  /** Group-wise OLS trend fit: per nation, regress monthly revenue on the
+    * month index (slope = revenue growth per month, via the normal
+    * equations). The regression sums Σt, Σtt, Σy, Σty accumulate in exact
+    * integer/DECIMAL just like q54's moments — partitioning-independent
+    * and engine-identical — and only the final slope/intercept divisions
+    * run in (mirrored) double. Shapes: two hash-aggs (monthly grain, then
+    * per-nation fold) after broadcast dimension joins; the monthly frame
+    * is |nations|×|months| rows at any fact scale.
+    */
+  val q125OlsTrend: QueryDef = QueryDef(
+    "q125_ols_trend",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val monthly = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("tm",
+          ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long"))
+        .groupBy(col("n_name"), col("tm"))
+        .agg(sum(col("o_totalprice").cast(M)).as("y"))
+      monthly.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_months"),
+             sum(col("tm")).as("st"),
+             sum(col("tm") * col("tm")).as("stt"),
+             sum(col("y")).cast("double").as("sy"),
+             sum(col("tm") * col("y")).cast("double").as("sty"))
+        .withColumn("slope", round(
+          (col("n_months").cast("double") * col("sty") -
+            col("st").cast("double") * col("sy")) /
+          (col("n_months").cast("double") * col("stt").cast("double") -
+            col("st").cast("double") * col("st").cast("double")), 6))
+        .withColumn("intercept", round(
+          (col("sy") - (col("n_months").cast("double") * col("sty") -
+              col("st").cast("double") * col("sy")) /
+            (col("n_months").cast("double") * col("stt").cast("double") -
+              col("st").cast("double") * col("st").cast("double")) *
+            col("st").cast("double")) / col("n_months").cast("double"), 6))
+        .select(col("n_name"), col("n_months"), col("slope"), col("intercept"))
+    },
+    Some("""WITH monthly AS (
+        SELECT n_name,
+          CAST((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+               + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS tm,
+          SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      sums AS (
+        SELECT n_name, COUNT(*) AS n_months,
+          SUM(tm) AS st, SUM(tm * tm) AS stt,
+          CAST(SUM(y) AS DOUBLE) AS sy,
+          CAST(SUM(tm * y) AS DOUBLE) AS sty
+        FROM monthly GROUP BY 1)
+      SELECT n_name, n_months,
+        round((CAST(n_months AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy) /
+              (CAST(n_months AS DOUBLE) * CAST(stt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6) AS slope,
+        round((sy - (CAST(n_months AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy) /
+              (CAST(n_months AS DOUBLE) * CAST(stt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+              * CAST(st AS DOUBLE)) / CAST(n_months AS DOUBLE), 6) AS intercept
+      FROM sums"""))
+
   val all: Seq[QueryDef] = Seq(q36GroupingSets, q37Percentiles, q38AnalyticWindows, q54MomentStats,
-    q116TableStats, q124MadOutliers)
+    q116TableStats, q124MadOutliers, q125OlsTrend)
 }

@@ -33,6 +33,36 @@ class ProductAnalyticsSpec extends SparkTestBase {
     assert(rows.forall(r => r._5 > 0.0 && r._5 <= 1.0 && r._3 <= r._4))
   }
 
+  test("ols trend: slope/intercept match a local least-squares fit of the monthly frame") {
+    val got = Analytics.q125OlsTrend.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    val t = Tables(spark, sfDir)
+    val monthly = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .withColumn("tm", ((year(col("o_orderdate")) - 1995) * 12 +
+        month(col("o_orderdate")) - 1).cast("long"))
+      .groupBy(col("n_name"), col("tm"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    monthly.groupBy(_._1).foreach { case (nation, rows) =>
+      val n = rows.length.toDouble
+      val st = rows.map(_._2).sum.toDouble
+      val stt = rows.map(r => r._2 * r._2).sum.toDouble
+      val sy = rows.map(_._3).sum
+      val sty = rows.map(r => r._2 * r._3).sum
+      val slope = (n * sty - st * sy) / (n * stt - st * st)
+      val intercept = (sy - slope * st) / n
+      val (gn, gs, gi) = got(nation)
+      assert(gn == rows.length)
+      // local double fold vs the engine's exact-decimal fold: tolerance,
+      // not equality — exactness vs DuckDB is the oracle's job
+      assert(math.abs(gs - slope) < 1e-3, s"$nation slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1.0, s"$nation intercept $gi vs $intercept")
+    }
+  }
+
   test("association rules: confidences bounded, support consistent, lift symmetric in the marginals") {
     val rows = ProductAnalytics.q122AssociationRules.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
