@@ -42,8 +42,11 @@ object ScaleBench {
         (System.nanoTime() - t0) / 1e9
       }
       System.err.println(f"[scalebench] $name ${times.min}%.2f s")
-      // free this query's localCheckpoint blocks (same reason as Bench)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // free this query's localCheckpoint blocks and wait for the removal
+      // (same reason as Bench: async unpersist leaves the blocks resident
+      // exactly while the next query allocates)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
