@@ -113,10 +113,16 @@ case class AsofJoinExec(
         if (lk == null || lt == null) {
           toUnsafe(joined(lRow, nullRight))
         } else {
-          // drop the remembered match when the left key moves on
+          // drop the remembered match when the left key moves on. The key
+          // must be COPIED before it is stored: eval on an UnsafeRow-backed
+          // iterator returns views into a reused buffer for non-primitive
+          // types (UTF8String, Decimal, structs), so a stored reference
+          // would mutate under us when the left iterator advances and the
+          // stale-key comparison could spuriously equal, leaking a
+          // lastMatch across key boundaries.
           if (lastKey == null || keyOrd.compare(lastKey, lk) != 0) {
             lastMatch = null
-            lastKey = lk
+            lastKey = InternalRow.copyValue(lk)
           }
           // advance the right side through every row with key < lk, or
           // key == lk and time <= lt; remember the last qualifying row
@@ -159,7 +165,20 @@ object AsofJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    // Re-alias every right-side output attribute with a fresh exprId
+    // (mirroring what DeduplicateRelations does for built-in joins): in a
+    // self-join both sides derive from the same relation and share
+    // exprIds, and downstream attribute binding resolves by FIRST exprId
+    // match — a duplicated right column would silently bind to the left
+    // ordinal (e.g. a right key selected after the join would read the
+    // non-null left key on unmatched rows instead of NULL).
+    val rp = {
+      val analyzed = right.queryExecution.analyzed
+      val fresh = analyzed.output.map { a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()
+      }
+      org.apache.spark.sql.catalyst.plans.logical.Project(fresh, analyzed)
+    }
     def idx(p: LogicalPlan, name: String): Int = {
       val i = p.output.indexWhere(_.name == name)
       require(i >= 0, s"column $name not in ${p.output.map(_.name).mkString(", ")}")
