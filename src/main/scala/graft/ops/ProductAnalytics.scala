@@ -29,7 +29,12 @@ object ProductAnalytics {
         .withColumn("e2", lead(col("event_type"), 1).over(w))
         .withColumn("e3", lead(col("event_type"), 2).over(w))
         .filter(col("e2").isNotNull && col("e3").isNotNull)
-        .withColumn("path", concat_ws(">", col("event_type"), col("e2"), col("e3")))
+        // concat, not concat_ws: the oracle's || is null-propagating, and
+        // concat_ws would silently SKIP a null event_type ("e2>e3") where
+        // the oracle yields a NULL path — same null-divergence class as
+        // q107's isin
+        .withColumn("path", concat(col("event_type"), lit(">"), col("e2"),
+          lit(">"), col("e3")))
         .groupBy(col("path"))
         .agg(count(lit(1)).as("n_occurrences"),
              countDistinct(col("user_id")).as("n_users"))
@@ -90,8 +95,11 @@ object ProductAnalytics {
     * unordered pair appearing in ≥ 2 orders, support, confidence in both
     * directions, and lift. Pairs come from the orderkey equi-join (never
     * all parts × all parts); marginal counts broadcast back onto the
-    * pair frame. The cross-product terms stay in exact int64 before the
-    * one double division, mirrored in the oracle.
+    * pair frame; the corpus-wide order count is an in-plan broadcast
+    * 1-row aggregate so the whole query is ONE action. Lift's
+    * cross-products are computed in double (identical expression tree in
+    * the oracle → bit parity): int64 products of counts overflow 2^63 at
+    * the 100 TB scale this targets, where Spark wraps and DuckDB errors.
     */
   val q122AssociationRules: QueryDef = QueryDef(
     "q122_association_rules",
@@ -99,7 +107,10 @@ object ProductAnalytics {
       val li = Tables(s, dir).lineitem
       val orders = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
         .distinct()
-      val nOrders = orders.select(col("ok")).distinct().count()
+      // the corpus-wide order count rides the plan as a broadcast 1-row
+      // aggregate (the q56/q91 scalar idiom) — one action, no extra
+      // driver-side scan of lineitem before the main plan runs
+      val nOrders = orders.agg(countDistinct(col("ok")).as("n_orders"))
       val pairs = orders.as("a")
         .join(orders.as("b"),
           col("a.ok") === col("b.ok") && col("a.part") < col("b.part"))
@@ -110,11 +121,16 @@ object ProductAnalytics {
       pairs
         .join(marg.select(col("part").as("x"), col("s").as("s_x")), "x")
         .join(marg.select(col("part").as("y"), col("s").as("s_y")), "y")
+        .crossJoin(broadcast(nOrders))
+        // cross-products in DOUBLE, not int64: counts at 100 TB make
+        // s_xy*n_orders exceed 2^63, where Spark (non-ANSI) wraps silently
+        // and DuckDB errors — doubles degrade to rounding instead, and the
+        // identical expression tree on both sides keeps bit parity
         .select(col("x"), col("y"), col("s_xy"), col("s_x"), col("s_y"),
           round(col("s_xy").cast("double") / col("s_x").cast("double"), 6).as("conf_xy"),
           round(col("s_xy").cast("double") / col("s_y").cast("double"), 6).as("conf_yx"),
-          round((col("s_xy") * lit(nOrders)).cast("double") /
-            (col("s_x") * col("s_y")).cast("double"), 6).as("lift"))
+          round(col("s_xy").cast("double") * col("n_orders").cast("double") /
+            (col("s_x").cast("double") * col("s_y").cast("double")), 6).as("lift"))
     },
     Some("""WITH o AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
       n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM o),
@@ -126,7 +142,8 @@ object ProductAnalytics {
       SELECT x, y, s_xy, mx.s AS s_x, my.s AS s_y,
         round(CAST(s_xy AS DOUBLE) / CAST(mx.s AS DOUBLE), 6) AS conf_xy,
         round(CAST(s_xy AS DOUBLE) / CAST(my.s AS DOUBLE), 6) AS conf_yx,
-        round(CAST(s_xy * n_orders AS DOUBLE) / CAST(mx.s * my.s AS DOUBLE), 6) AS lift
+        round(CAST(s_xy AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+          (CAST(mx.s AS DOUBLE) * CAST(my.s AS DOUBLE)), 6) AS lift
       FROM pairs JOIN marg mx ON pairs.x = mx.part
                  JOIN marg my ON pairs.y = my.part
                  CROSS JOIN n"""))

@@ -114,8 +114,12 @@ object ScaleOps {
           sum(when(col("text").isNull || length(col("text")) === 0, 1L)
             .otherwise(0L)).cast("long").as("violations"))
         .select(lit("documents_empty_text").as("check_name"), col("violations"))
+      // a NULL event_type is a violation: isin() alone is NULL for null
+      // input and when().otherwise(0) would silently count it as CLEAN,
+      // diverging from the oracle's explicit OR IS NULL arm
       val ev = EventOps.events(s, dir).agg(
-          sum(when(!col("event_type").isin("click", "view", "purchase",
+          sum(when(col("event_type").isNull ||
+                   !col("event_type").isin("click", "view", "purchase",
                                            "signup", "error"), 1L)
             .otherwise(0L)).cast("long").as("violations"))
         .select(lit("events_bad_type").as("check_name"), col("violations"))

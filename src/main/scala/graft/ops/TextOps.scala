@@ -159,29 +159,37 @@ object TextOps {
     * Shapes: one (source, token) hash-agg over the exploded tokens, then
     * broadcast joins against the tiny marginal frames — at 100 TB the
     * marginals are |vocab| + |sources| rows regardless of corpus size.
-    * (ad−bc) is computed in exact int64 BEFORE squaring in double, and
-    * the double expression tree is mirrored in the oracle so IEEE
-    * determinism gives bit parity.
+    * The corpus-wide token count is an in-plan broadcast 1-row aggregate
+    * (one action, no driver-side pre-pass). SUMS (b, c, d) stay in exact
+    * int64 — they are bounded by n, safe at any feasible corpus — but
+    * PRODUCTS are computed in double: a·d and ta·(n−ta) exceed 2^63 once
+    * n passes ~3e9 tokens (any multi-TB corpus), where Spark (non-ANSI)
+    * wraps silently and DuckDB errors. The double expression tree is
+    * mirrored node-for-node in the oracle so IEEE determinism gives bit
+    * parity; above 2^53 the products round (deterministically) instead
+    * of corrupting.
     */
   val q114Chi2Keyness: QueryDef = QueryDef(
     "q114_chi2_keyness",
     (s, dir) => {
       val tok = Tables(s, dir).documents
         .select(col("source"), explode(tokens(col("text"))).as("token"))
-      val n = tok.count() // one scalar driver read — the only action
+      val nAgg = tok.agg(count(lit(1)).as("n"))
       val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("a"))
       val ta = tok.groupBy(col("token")).agg(count(lit(1)).as("ta"))
       val sa = tok.groupBy(col("source")).agg(count(lit(1)).as("sa"))
       st.join(broadcast(ta), "token").join(broadcast(sa), "source")
+        .crossJoin(broadcast(nAgg))
         .withColumn("b", col("ta") - col("a"))
         .withColumn("c", col("sa") - col("a"))
-        .withColumn("d", lit(n) - col("ta") - col("sa") + col("a"))
-        // exact int64 cross-product difference, THEN double math
-        .withColumn("diff", col("a") * col("d") - col("b") * col("c"))
+        .withColumn("d", col("n") - col("ta") - col("sa") + col("a"))
+        .withColumn("diff",
+          col("a").cast("double") * col("d").cast("double") -
+            col("b").cast("double") * col("c").cast("double"))
         .withColumn("chi2", round(
-          lit(n.toDouble) * (col("diff").cast("double") * col("diff").cast("double")) /
-            ((col("ta") * (lit(n) - col("ta"))).cast("double") *
-             (col("sa") * (lit(n) - col("sa"))).cast("double")), 4))
+          col("n").cast("double") * (col("diff") * col("diff")) /
+            ((col("ta").cast("double") * (col("n") - col("ta")).cast("double")) *
+             (col("sa").cast("double") * (col("n") - col("sa")).cast("double"))), 4))
         .select(col("source"), col("token"), col("a").as("n_in_source"), col("chi2"))
     },
     Some("""WITH tok AS (
@@ -193,9 +201,12 @@ object TextOps {
       n AS (SELECT COUNT(*) AS n FROM tok)
       SELECT st.source, st.token, a AS n_in_source,
         round(CAST(n AS DOUBLE) *
-          (CAST(a*(n - ta - sa + a) - (ta - a)*(sa - a) AS DOUBLE)
-           * CAST(a*(n - ta - sa + a) - (ta - a)*(sa - a) AS DOUBLE)) /
-          (CAST(ta*(n - ta) AS DOUBLE) * CAST(sa*(n - sa) AS DOUBLE)), 4) AS chi2
+          ((CAST(a AS DOUBLE) * CAST(n - ta - sa + a AS DOUBLE)
+              - CAST(ta - a AS DOUBLE) * CAST(sa - a AS DOUBLE))
+           * (CAST(a AS DOUBLE) * CAST(n - ta - sa + a AS DOUBLE)
+              - CAST(ta - a AS DOUBLE) * CAST(sa - a AS DOUBLE))) /
+          ((CAST(ta AS DOUBLE) * CAST(n - ta AS DOUBLE))
+           * (CAST(sa AS DOUBLE) * CAST(n - sa AS DOUBLE))), 4) AS chi2
       FROM st JOIN ta USING (token) JOIN sa USING (source) CROSS JOIN n"""))
 
   val all: Seq[QueryDef] = Seq(q22TokenStats, q23TextQuality, q24LangId, q25Fingerprint,

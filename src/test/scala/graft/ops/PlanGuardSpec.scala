@@ -33,7 +33,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q93_power_iteration_pca", // 1-row norm scalar broadcast per iteration
     "q94_bigram_perplexity",   // 1-row vocabulary-size broadcast
     "q99_embedding_outliers",  // 1-row (n, Σd, Σd²) moments broadcast
-    "q104_rrf_fusion")         // inherits q91's 1-row (n_docs, avgdl) broadcast
+    "q104_rrf_fusion",         // inherits q91's 1-row (n_docs, avgdl) broadcast
+    "q114_chi2_keyness",       // 1-row corpus token count broadcast (was a driver-side count)
+    "q122_association_rules")  // 1-row order count broadcast (was a driver-side count)
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
