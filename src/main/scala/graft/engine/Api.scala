@@ -131,7 +131,11 @@ object Graft {
   /** Adapter key → constructor, the api.clj:25-33 dispatch table. `jdbc`
     * covers the reference's mysql/h2/sqlite trio (any JDBC URL — one
     * driver-agnostic store, store/jdbc.clj); `memory` and `log` are this
-    * library's embedded backends. */
+    * library's embedded backends. The engine-specific error shapes the
+    * trio actually differ on (dup-PK, already-exists) are handled
+    * per-adapter in [[JdbcJobStore.isDuplicateKey]]/[[JdbcJobStore.isAlreadyExists]]
+    * and unit-tested per engine; Derby is the integration-tested backend
+    * (the only driver shipped in this offline environment). */
   private val jdbcAdapters = Set("jdbc", "derby", "mysql", "h2", "sqlite")
 
   def store(config: GraftConfig): JobStore = {

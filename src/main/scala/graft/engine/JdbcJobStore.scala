@@ -23,12 +23,62 @@ import scala.collection.mutable
   * failures whole (insert-everything-or-nothing, never upsert,
   * jdbc.clj:169-185 / dup-primary-key-ex?).
   *
-  * Tested against embedded Derby (`jdbc:derby:memory:...` /
-  * `jdbc:derby:/path`), whose engine is single-JVM; the SQL here is
-  * deliberately vanilla (no Derby-isms beyond FETCH FIRST) so a server URL
-  * (MySQL et al., the reference's production adapter) gives true
-  * multi-process coordination with no code change.
+  * Integration-tested against embedded Derby (`jdbc:derby:memory:...` /
+  * `jdbc:derby:/path`), the one engine whose driver ships in this
+  * environment; the SQL here is deliberately vanilla (no Derby-isms
+  * beyond FETCH FIRST) so a server URL (MySQL et al., the reference's
+  * production adapter) gives true multi-process coordination with no
+  * code change. The two places engines genuinely differ — how a
+  * duplicate-primary-key and an object-already-exists failure look — go
+  * through [[JdbcJobStore.isDuplicateKey]] / [[JdbcJobStore.isAlreadyExists]],
+  * which mirror the reference's per-backend recognition (jdbc.clj:156-162)
+  * for MySQL/H2/SQLite/Postgres and are unit-tested against each
+  * adapter's documented error shape.
   */
+object JdbcJobStore {
+
+  private def chain(e: SQLException): Iterator[SQLException] =
+    Iterator.iterate(e)(_.getNextException).takeWhile(_ != null)
+
+  /** Per-adapter duplicate-primary-key recognition, mirroring the
+    * reference's per-backend dispatch (jdbc.clj:156-162 recognizes
+    * MySQL, H2 and SQLite each by their own error shape). A single
+    * SQLState check is NOT portable:
+    *
+    *  - Derby / H2 / Postgres / HSQLDB raise SQLState 23505
+    *    (unique-constraint violation — precise, never a FK failure).
+    *  - MySQL / MariaDB raise SQLState 23000 for EVERY integrity
+    *    violation; the duplicate-entry case is vendor errno 1062
+    *    (ER_DUP_ENTRY), and errno 1452 (FK failure) must NOT match.
+    *  - SQLite (xerial driver) raises SQLITE_CONSTRAINT codes with the
+    *    "UNIQUE constraint failed" / "PRIMARY KEY constraint failed"
+    *    message and an unreliable SQLState, so it is matched on the
+    *    message.
+    *
+    * Batch drivers wrap the real failure in a chained SQLException, so
+    * the whole getNextException chain is scanned. */
+  def isDuplicateKey(e: SQLException): Boolean =
+    chain(e).exists { ex =>
+      val state = Option(ex.getSQLState).getOrElse("")
+      val msg = Option(ex.getMessage).getOrElse("")
+      state == "23505" ||
+      ex.getErrorCode == 1062 ||
+      msg.contains("UNIQUE constraint failed") ||
+      msg.contains("PRIMARY KEY constraint failed")
+    }
+
+  /** "Schema object already exists" per adapter — the non-idempotent
+    * install contract's detection (Derby X0Y32; H2/MySQL 42S01 table
+    * exists; Postgres 42P07; SQLite by message). */
+  def isAlreadyExists(e: SQLException): Boolean =
+    chain(e).exists { ex =>
+      val state = Option(ex.getSQLState).getOrElse("")
+      val msg = Option(ex.getMessage).getOrElse("")
+      state == "X0Y32" || state == "42S01" || state == "42P07" ||
+      msg.contains("already exists")
+    }
+}
+
 final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
 
   private def open(): Connection = {
@@ -158,9 +208,9 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
       ":ok"
     }
     catch {
-      // Derby X0Y32 = object already exists — surface as the suite's
-      // "install is not idempotent" contract
-      case e: SQLException if e.getSQLState == "X0Y32" =>
+      // object already exists (per-adapter shapes, JdbcJobStore.isAlreadyExists)
+      // — surface as the suite's "install is not idempotent" contract
+      case e: SQLException if JdbcJobStore.isAlreadyExists(e) =>
         throw new IllegalArgumentException("store already installed", e)
     }
   }
@@ -204,7 +254,7 @@ final class JdbcJobStore(url: String) extends JobStore with AutoCloseable {
       conn.commit()
       g
     } catch {
-      case e: SQLException if e.getSQLState == "23505" => // duplicate PK
+      case e: SQLException if JdbcJobStore.isDuplicateKey(e) => // duplicate PK, any adapter
         conn.rollback(); g
       case e: Throwable =>
         conn.rollback(); throw e

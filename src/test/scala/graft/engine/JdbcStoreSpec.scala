@@ -159,4 +159,57 @@ class JdbcStoreSpec extends AnyFunSuite with JobStoreBehaviors {
     assert(ready.forall(_.status == JobStatus.Unstarted))
     assert(s.readyJobs(limit = 1).size == 1)
   }
+
+  // --- per-adapter duplicate-key recognition (jdbc.clj:156-162) ---------
+  // The trio's drivers aren't installable here (offline environment), so
+  // each adapter's DOCUMENTED error shape is tested directly: exactly the
+  // reason/SQLState/errno triple the real driver raises on a dup PK.
+
+  import java.sql.SQLException
+
+  test("dup-key: Derby/H2/Postgres unique violation (SQLState 23505) matches") {
+    // Derby: ERROR 23505 on the PK index; H2: errno 23505 too
+    assert(JdbcJobStore.isDuplicateKey(new SQLException(
+      "The statement was aborted because it would have caused a duplicate key value in a unique or primary key constraint", "23505", 20000)))
+    assert(JdbcJobStore.isDuplicateKey(new SQLException(
+      "Unique index or primary key violation: \"PRIMARY KEY ON PUBLIC.OVERSEER_JOBS(ID)\"", "23505", 23505)))
+  }
+
+  test("dup-key: MySQL/MariaDB ER_DUP_ENTRY (SQLState 23000, errno 1062) matches") {
+    assert(JdbcJobStore.isDuplicateKey(new SQLException(
+      "Duplicate entry 'abc123' for key 'overseer_jobs.PRIMARY'", "23000", 1062)))
+  }
+
+  test("dup-key: SQLite SQLITE_CONSTRAINT message shapes match despite unreliable SQLState") {
+    assert(JdbcJobStore.isDuplicateKey(new SQLException(
+      "[SQLITE_CONSTRAINT_PRIMARYKEY] A PRIMARY KEY constraint failed (UNIQUE constraint failed: overseer_jobs.id)", null, 1555)))
+    assert(JdbcJobStore.isDuplicateKey(new SQLException(
+      "[SQLITE_CONSTRAINT] Abort due to constraint violation (UNIQUE constraint failed: overseer_jobs.id)", null, 19)))
+  }
+
+  test("dup-key: other integrity violations do NOT match (never swallow an FK failure)") {
+    // MySQL FK failure shares SQLState 23000 with ER_DUP_ENTRY — only the
+    // errno separates them; swallowing it would turn a real corruption
+    // into a silent no-op transact
+    assert(!JdbcJobStore.isDuplicateKey(new SQLException(
+      "Cannot add or update a child row: a foreign key constraint fails", "23000", 1452)))
+    assert(!JdbcJobStore.isDuplicateKey(new SQLException(
+      "INSERT on table 'OVERSEER_DEPENDENCIES' caused a violation of foreign key constraint", "23503", 20000)))
+    assert(!JdbcJobStore.isDuplicateKey(new SQLException("connection reset", "08006", 0)))
+  }
+
+  test("dup-key: the chained (batch) SQLException is scanned to its real cause") {
+    val outer = new SQLException("Batch entry 0 failed", "HY000", 0)
+    outer.setNextException(new SQLException(
+      "Duplicate entry 'j1' for key 'PRIMARY'", "23000", 1062))
+    assert(JdbcJobStore.isDuplicateKey(outer))
+  }
+
+  test("already-exists: Derby X0Y32, H2/MySQL 42S01, Postgres 42P07, SQLite message") {
+    assert(JdbcJobStore.isAlreadyExists(new SQLException("Table/View 'OVERSEER_JOBS' already exists", "X0Y32", 20000)))
+    assert(JdbcJobStore.isAlreadyExists(new SQLException("Table \"OVERSEER_JOBS\" already exists", "42S01", 42101)))
+    assert(JdbcJobStore.isAlreadyExists(new SQLException("relation \"overseer_jobs\" already exists", "42P07", 0)))
+    assert(JdbcJobStore.isAlreadyExists(new SQLException("[SQLITE_ERROR] SQL error or missing database (table overseer_jobs already exists)", null, 1)))
+    assert(!JdbcJobStore.isAlreadyExists(new SQLException("syntax error", "42000", 0)))
+  }
 }
