@@ -1,63 +1,116 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The real decode (image/audio codecs) is STUBBED — this container has no
-  * media libraries — behind [[FakeDecoder]], a deterministic stand-in. The
-  * Spark-side machinery is real: binary payload column, metadata struct,
-  * per-partition batched processing via `mapPartitions` (the Scala analog
-  * of a vectorized/batched UDF), frame-sample explode, and aggregation back
-  * to per-document features. At scale: payloads never leave their input
-  * partition until after feature extraction reduces them to small vectors.
+  * The payloads are REAL images: each document's bytes are rendered into a
+  * grayscale PNG (a genuine compressed codec format) and the feature
+  * extraction runs a real `javax.imageio` decode — full pipeline:
+  * binary payload column + metadata → per-partition batched decode →
+  * frame explode → per-document aggregation. PNG is lossless, so the
+  * decoded luminance sums equal the source byte sums and the DuckDB
+  * oracle can verify the whole round-trip exactly.
+  *
+  * At scale: payloads never leave their input partition until after
+  * feature extraction reduces them to small per-frame vectors; the encode
+  * and decode stages pipeline inside one stage (no shuffle between them).
   */
 object Multimodal {
 
-  /** STUB decoder: stands in for an image/audio decode. Deterministic:
-    * "frames" are fixed-size byte windows; the "feature" per frame is a sum
-    * over its bytes. Swap for a real codec by replacing this one object. */
-  object FakeDecoder {
-    val frameSize = 256
-    def frames(payload: Array[Byte]): Iterator[(Int, Array[Byte])] =
-      payload.grouped(frameSize).zipWithIndex.map { case (b, i) => (i, b) }
-    def frameFeature(frame: Array[Byte]): Long =
-      frame.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+  /** Pure-JDK image codec (javax.imageio ships with the JRE — no
+    * dependencies). Layout: a document's bytes fill a width-256 grayscale
+    * raster row-major, one image row per 256-byte frame, zero-padded in
+    * the final row; pixel luminance == source byte value, losslessly
+    * preserved by PNG. */
+  object ImageCodec {
+    ImageIO.setUseCache(false) // stream in memory, not via temp files
+    val frameWidth = 256
+
+    /** Render `bytes` as a real PNG payload (one image row per frame). */
+    def encodePng(bytes: Array[Byte]): Array[Byte] = {
+      val w = frameWidth
+      val h = math.max(1, (bytes.length + w - 1) / w)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < bytes.length) {
+        raster.setSample(i % w, i / w, 0, bytes(i) & 0xff)
+        i += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real ImageIO decode → (frame_id, frame_bytes, luminance_sum) per
+      * 256-pixel frame row. `nBytes` (ingest metadata) bounds the frame
+      * count and the final frame's byte count; zero-padding contributes
+      * nothing to the luminance sum, so sums are exact over source bytes. */
+    def decodeFrames(png: Array[Byte], nBytes: Int): Iterator[(Int, Int, Long)] = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      val raster = img.getRaster
+      val nFrames = (nBytes + frameWidth - 1) / frameWidth
+      (0 until nFrames).iterator.map { y =>
+        val fb = math.min(frameWidth, nBytes - frameWidth * y)
+        var s = 0L
+        var x = 0
+        while (x < frameWidth) { s += raster.getSample(x, y, 0); x += 1 }
+        (y, fb, s)
+      }
+    }
   }
 
-  final case class MediaDoc(doc_id: Long, payload: Array[Byte])
+  final case class MediaDoc(doc_id: Long, payload: Array[Byte], n_bytes: Int)
   final case class FrameFeature(doc_id: Long, frame_id: Int, frame_bytes: Int, feature: Long)
 
-  /** Decode + feature-extract, batched per partition. */
+  /** Ingest stage: source bytes → real PNG payload + byte-count metadata,
+    * batched per partition. */
+  def toMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaDoc(id, ImageCodec.encodePng(bytes), bytes.length)
+      }).toDF()
+  }
+
+  /** Decode + feature-extract, batched per partition: one real ImageIO
+    * decode per payload, one output row per frame. */
   def extractFrames(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaDoc]
+    media.select(col("doc_id"), col("payload"), col("n_bytes")).as[MediaDoc]
       .mapPartitions { docs =>
         docs.flatMap { d =>
-          FakeDecoder.frames(d.payload).map { case (i, f) =>
-            FrameFeature(d.doc_id, i, f.length, FakeDecoder.frameFeature(f))
+          ImageCodec.decodeFrames(d.payload, d.n_bytes).map { case (i, fb, s) =>
+            FrameFeature(d.doc_id, i, fb, s)
           }
         }
       }.toDF()
   }
 
-  /** Multimodal pipeline over the documents table, using its UTF-8 bytes as
-    * the stand-in payload: binary column → metadata (octet length, sha256)
-    * → per-partition frame decode → per-doc feature aggregation. Oracle
-    * recomputes the same deterministic quantities in SQL. */
+  /** Multimodal pipeline over the documents table: binary PNG payload +
+    * ingest metadata (source octet length, source sha256) → per-partition
+    * ImageIO frame decode → per-doc feature aggregation. PNG is lossless,
+    * so the oracle recomputes the decoded luminance sums from the source
+    * text exactly. */
   val q32Multimodal: QueryDef = QueryDef(
     "q32_multimodal_features",
     (s, dir) => {
-      val media = Tables(s, dir).documents
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      val meta = media.select(
+      val docs = Tables(s, dir).documents
+      val meta = docs.select(
         col("doc_id"),
-        octet_length(col("payload")).cast("long").as("payload_bytes"),
-        sha2(col("payload"), 256).as("sha"))
-      val feats = extractFrames(media)
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("payload_bytes"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
+      val feats = extractFrames(toMedia(docs))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_frames"),
              sum(col("feature")).as("byte_sum"))
@@ -66,7 +119,8 @@ object Multimodal {
                 col("n_frames"), col("byte_sum"))
     },
     // text is ASCII-safe synthetic prose: octet length == char length, and
-    // the frame feature sum telescopes to the total byte sum of the payload.
+    // the decoded luminance sum telescopes to the total byte sum of the
+    // source (PNG round-trip is lossless).
     Some("""SELECT doc_id,
       CAST(strlen(text) AS BIGINT) AS payload_bytes,
       sha256(text) AS sha,
@@ -75,16 +129,14 @@ object Multimodal {
         i -> ord(text[i]))) AS BIGINT) AS byte_sum
       FROM documents"""))
 
-  /** Frame-level output of the decode path: one row per sampled frame with
-    * its byte count and feature — the shape a video/audio pipeline hands to
-    * a downstream embedding stage. Oracle recomputes every frame window
-    * byte-for-byte in SQL. */
+  /** Frame-level output of the decode path: one row per decoded image row
+    * ("frame") with its source byte count and luminance sum — the shape a
+    * video pipeline hands to a downstream embedding stage. Oracle
+    * recomputes every frame window byte-for-byte in SQL. */
   val q53FrameFeatures: QueryDef = QueryDef(
     "q53_frame_features",
     (s, dir) => {
-      val media = Tables(s, dir).documents
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      extractFrames(media)
+      extractFrames(toMedia(Tables(s, dir).documents))
         .select(col("doc_id"), col("frame_id"), col("frame_bytes"), col("feature"))
     },
     Some("""SELECT doc_id, CAST(g.i AS INTEGER) AS frame_id,
