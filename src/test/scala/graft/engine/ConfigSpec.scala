@@ -149,8 +149,12 @@ class ConfigSpec extends AnyFunSuite {
     store.asInstanceOf[JdbcJobStore].close()
   }
 
-  test("unknown reporter DSN schemes fall back to the logging sink, never throw") {
-    assert(Reporter.forDsn("https://key@sentry.example/1").isInstanceOf[Reporter.Logging])
+  test("DSN dispatch: Sentry-shaped https DSNs get the wire client, everything else logs") {
+    assert(Reporter.forDsn("https://key@sentry.example/1").isInstanceOf[Reporter.SentryWire])
+    // https URL without key@ userinfo or project path is NOT a Sentry DSN
+    assert(Reporter.forDsn("https://sentry.example/1").isInstanceOf[Reporter.Logging])
+    assert(Reporter.forDsn("https://key@sentry.example").isInstanceOf[Reporter.Logging])
+    assert(Reporter.forDsn("garbage-dsn").isInstanceOf[Reporter.Logging])
   }
 
   test("fromYaml parses the reference's full examples/config.yml shape") {
