@@ -56,6 +56,58 @@ class StreamingSpec extends SparkTestBase {
     assert(FsmStream.step(s(JobStatus.Started), JobEvent("x", "heartbeat", 77)).heartbeat == 77)
   }
 
+  test("detector parity: readiness anti-join over replayed FSM-stream state " +
+       "equals the store's ready set on the truth-table matrix") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.engine._
+
+    // the ReadinessSpec 7-configuration matrix, driven through the STORE...
+    val s = new InMemoryJobStore; s.install()
+    val jobs = (1 to 9).map(i => Job(s"j$i", s"type-j$i"))
+    val deps = Seq(Dep("j3", "j2"), Dep("j5", "j4"), Dep("j6", "j3"), Dep("j6", "j4"),
+                   Dep("j8", "j9"))
+    s.transactGraph(JobGraph(jobs, deps))
+    s.reserveJob("j2")
+    s.reserveJob("j4"); s.finishJob("j4")
+    s.abortJob("j7")
+    s.reserveJob("j9"); s.failJob("j9", None)
+
+    // ...and the SAME mutations replayed as a transition-event log through
+    // the streaming FSM
+    val input = MemoryStream[JobEvent]
+    val q = FsmStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("fsmparity")
+      .outputMode(OutputMode.Update).start()
+    val finalStates = try {
+      input.addData(
+        JobEvent("j2", "reserve", 100),
+        JobEvent("j4", "reserve", 100),
+        JobEvent("j7", "abort", 100),
+        JobEvent("j9", "reserve", 100))
+      q.processAllAvailable()
+      input.addData(JobEvent("j4", "finish", 110), JobEvent("j9", "fail", 110))
+      q.processAllAvailable()
+      spark.table("fsmparity").as[JobState].collect()
+        .groupBy(_.jobId).map { case (k, v) => k -> v.last }
+    } finally q.stop()
+
+    // stream output is a changelog over the all-unstarted base table
+    val streamedJobs = jobs.map { j =>
+      finalStates.get(j.id) match {
+        case Some(st) => j.copy(status = st.status, heartbeat = Some(st.heartbeat))
+        case None     => j
+      }
+    }
+    val jobsDF = spark.createDataset(streamedJobs).toDF()
+    val depsDF = spark.createDataset(deps).toDF()
+    val streamReady = StoreViews.jobsReady(jobsDF, depsDF)
+      .select("id").collect().map(_.getString(0)).toSet
+
+    assert(streamReady == s.jobsReady(), "stream-state detector disagrees with the store")
+    assert(streamReady == Set("j1", "j5")) // the truth table's answer
+  }
+
   test("tumbling window stream aggregates by hour and type") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
