@@ -35,7 +35,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q99_embedding_outliers",  // 1-row (n, Σd, Σd²) moments broadcast
     "q104_rrf_fusion",         // inherits q91's 1-row (n_docs, avgdl) broadcast
     "q114_chi2_keyness",       // 1-row corpus token count broadcast (was a driver-side count)
-    "q122_association_rules")  // 1-row order count broadcast (was a driver-side count)
+    "q122_association_rules",  // 1-row order count broadcast (was a driver-side count)
+    "q127_hll_users",          // 1-row union-of-sketches estimate broadcast
+    "q128_cms_frequency")      // 1-row (sketch, N) broadcast probed per key
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
