@@ -13,7 +13,7 @@ object SparkEntry {
       Analytics.all ++ Joins.all ++ Reshape.all ++ Subqueries.all ++
       Pipelines.all ++ CorpusOps.all ++ ReportingOps.all ++ TrainingOps.all ++
       CurationOps.all ++ ScoringOps.all ++ GraphAnalytics.all ++ ScaleOps.all ++
-      ProductAnalytics.all ++ SketchOps.all
+      ProductAnalytics.all ++ SketchOps.all ++ SignalOps.all
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
     * (ingest → {enrich, corpus} → report), schedule it through the
