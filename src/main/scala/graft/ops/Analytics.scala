@@ -291,6 +291,42 @@ object Analytics {
               * CAST(st AS DOUBLE)) / CAST(n_months AS DOUBLE), 6) AS intercept
       FROM sums"""))
 
+  /** Approximate quantiles (Greenwald-Khanna via `approx_percentile`)
+    * validated against exact percentiles in the q35 idiom: the GK rank
+    * guarantee (|rank(est) − ⌈p·n⌉| ≤ n/accuracy) is emitted as a boolean
+    * by bracketing each estimate between the exact quantiles at p±10ε,
+    * and the oracle pins the boolean to TRUE. At 100 TB the approx path
+    * is the only viable one — GK summaries merge map-side in fixed space
+    * while exact `percentile` buffers every value per group — so this
+    * query IS the scale recipe, with the exact columns as its sf-small
+    * certificate.
+    */
+  val q132ApproxQuantiles: QueryDef = QueryDef(
+    "q132_approx_quantiles",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"),
+        count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("a99"),
+        expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.98)").as("lo99"),
+        expr("percentile(l_extendedprice, 1.0)").as("hi99"))
+      .select(col("l_returnflag"), col("p50"), col("p99"), col("n"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+          .as("a50_in_bounds"),
+        (col("a99") >= col("lo99") && col("a99") <= col("hi99"))
+          .as("a99_in_bounds")),
+    Some("""SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.5) AS p50,
+        quantile_cont(l_extendedprice, 0.99) AS p99,
+        COUNT(*) AS n,
+        TRUE AS a50_in_bounds, TRUE AS a99_in_bounds
+      FROM lineitem GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q36GroupingSets, q37Percentiles, q38AnalyticWindows, q54MomentStats,
-    q116TableStats, q124MadOutliers, q125OlsTrend)
+    q116TableStats, q124MadOutliers, q125OlsTrend, q132ApproxQuantiles)
 }

@@ -203,6 +203,96 @@ object CorpusOps {
         COUNT(*) AS n_events
       FROM f GROUP BY 1"""))
 
+  /** Per-source token-distribution divergence: Shannon entropy of each
+    * source's unigram distribution and its KL divergence from the whole
+    * corpus — the drift signal that flags a source whose text stops
+    * looking like the rest of the mix. All counts are exact int64 hash
+    * aggs keyed by token (vocab-bounded state); the p·ln(p/q) terms are
+    * double with the identical expression tree in the oracle, summed
+    * under round(…, 6) (q94's proven parity discipline). The 1-row
+    * corpus-total broadcast is the q56 scalar idiom.
+    */
+  val q133SourceDivergence: QueryDef = QueryDef(
+    "q133_source_divergence",
+    (s, dir) => {
+      val tok = Tables(s, dir).documents
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      val bySrc = tok.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c_st"))
+      val srcTot = bySrc.groupBy(col("source"))
+        .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("vocab_s"))
+      val glob = tok.groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+      val globTot = glob.agg(sum(col("c_t")).as("n_g"))
+      bySrc.join(glob, Seq("t"))
+        .join(broadcast(srcTot), Seq("source"))
+        .crossJoin(broadcast(globTot))
+        .withColumn("p", col("c_st").cast("double") / col("n_s"))
+        .withColumn("q", col("c_t").cast("double") / col("n_g"))
+        .groupBy(col("source"))
+        .agg(first(col("n_s")).as("n_tokens"),
+             first(col("vocab_s")).as("vocab"),
+             round(-sum(col("p") * log(col("p"))), 6).as("entropy"),
+             round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_vs_corpus"))
+    },
+    Some("""WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+          FROM documents),
+        bysrc AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        srctot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+            COUNT(*) AS vocab_s FROM bysrc GROUP BY 1),
+        gtok AS (SELECT t, COUNT(*) AS c_t FROM tok GROUP BY 1),
+        globtot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_g FROM gtok)
+      SELECT b.source, st.n_s AS n_tokens, st.vocab_s AS vocab,
+        round(-SUM((CAST(b.c_st AS DOUBLE)/st.n_s)
+          * ln(CAST(b.c_st AS DOUBLE)/st.n_s)), 6) AS entropy,
+        round(SUM((CAST(b.c_st AS DOUBLE)/st.n_s)
+          * ln((CAST(b.c_st AS DOUBLE)/st.n_s)
+              / (CAST(g.c_t AS DOUBLE)/gt.n_g))), 6) AS kl_vs_corpus
+      FROM bysrc b JOIN gtok g USING (t) JOIN srctot st USING (source)
+        CROSS JOIN globtot gt
+      GROUP BY 1, 2, 3"""))
+
+  /** Top-p (nucleus) vocabulary truncation per source: rank tokens by
+    * frequency, keep the smallest prefix covering ≥95% of the token
+    * mass — the tokenizer-design question "how small a vocabulary still
+    * covers the corpus". The keep predicate is EXACT int64 arithmetic
+    * (prior_cum·100 < 95·total — no doubles anywhere), so parity is
+    * structural. Per-source ordered window over a vocab-bounded frame;
+    * ties broken lexicographically.
+    */
+  val q134NucleusVocab: QueryDef = QueryDef(
+    "q134_nucleus_vocab",
+    (s, dir) => {
+      val counts = Tables(s, dir).documents
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("t").asc)
+      val tot = Window.partitionBy(col("source"))
+      counts
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("c")).over(tot))
+        .filter((col("cum") - col("c")) * 100 < col("total") * 95)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("c")).as("kept_mass"),
+             first(col("total")).as("total_mass"))
+    },
+    Some("""WITH c AS (SELECT source, t, COUNT(*) AS c FROM
+          (SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+           FROM documents) GROUP BY 1, 2),
+        r AS (SELECT source, t, c,
+            SUM(c) OVER (PARTITION BY source ORDER BY c DESC, t ASC
+              ROWS UNBOUNDED PRECEDING) AS cum,
+            SUM(c) OVER (PARTITION BY source) AS total
+          FROM c)
+      SELECT source, COUNT(*) AS n_kept,
+        CAST(SUM(c) AS BIGINT) AS kept_mass,
+        CAST(ANY_VALUE(total) AS BIGINT) AS total_mass
+      FROM r WHERE (cum - c) * 100 < total * 95
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q58DocChunking, q59DateSpine, q60BigramTopk,
-    q61EventCompaction, q62CentroidAssign, q63PriceHistogram, q73ForwardFill)
+    q61EventCompaction, q62CentroidAssign, q63PriceHistogram, q73ForwardFill,
+    q133SourceDivergence, q134NucleusVocab)
 }

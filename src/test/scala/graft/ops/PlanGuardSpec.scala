@@ -37,7 +37,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q114_chi2_keyness",       // 1-row corpus token count broadcast (was a driver-side count)
     "q122_association_rules",  // 1-row order count broadcast (was a driver-side count)
     "q127_hll_users",          // 1-row union-of-sketches estimate broadcast
-    "q128_cms_frequency")      // 1-row (sketch, N) broadcast probed per key
+    "q128_cms_frequency",      // 1-row (sketch, N) broadcast probed per key
+    "q133_source_divergence")  // 1-row corpus token total broadcast
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
