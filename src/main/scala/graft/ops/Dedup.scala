@@ -384,6 +384,53 @@ object Dedup {
       WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""))
 
+  /** Sorted-neighborhood near-dup detection (SNM, the record-linkage
+    * classic): block by (lang, 16-char normalized prefix), sort each
+    * block, and Jaccard-compare each document ONLY to its predecessor —
+    * a lag window instead of a pair join, so the compare count is
+    * exactly n−(#blocks) however large the corpus. Complements
+    * MinHash-LSH (q28): SNM catches prefix-aligned template families at
+    * one compare per row; LSH catches arbitrary-offset overlap. Blocks
+    * parallelize the window (no global sort), the fixture's templated
+    * docs cluster under shared prefixes by construction.
+    */
+  val q135SortedNeighborhood: QueryDef = QueryDef(
+    "q135_sorted_neighborhood",
+    (s, dir) => {
+      val t = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          lower(col("text")).as("ntext"),
+          array_distinct(TextOps.tokens(col("text"))).as("toks"))
+        .withColumn("blk", substring(col("ntext"), 1, 16))
+      val w = Window.partitionBy(col("lang"), col("blk"))
+        .orderBy(col("ntext").asc, col("doc_id").asc)
+      t.withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+        .withColumn("prev_toks", lag(col("toks"), 1).over(w))
+        .filter(col("prev_id").isNotNull)
+        .withColumn("jac",
+          size(array_intersect(col("toks"), col("prev_toks"))).cast("double") /
+            size(array_union(col("toks"), col("prev_toks"))))
+        .filter(col("jac") >= 0.5)
+        .select(col("prev_id").as("id_a"), col("doc_id").as("id_b"),
+                col("jac"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, lower(text) AS ntext,
+            list_distinct(regexp_extract_all(lower(text), '\w+')) AS toks,
+            substr(lower(text), 1, 16) AS blk
+          FROM documents),
+        n AS (SELECT doc_id, toks,
+            LAG(doc_id) OVER w AS prev_id,
+            LAG(toks) OVER w AS prev_toks
+          FROM t
+          WINDOW w AS (PARTITION BY lang, blk ORDER BY ntext, doc_id))
+      SELECT prev_id AS id_a, doc_id AS id_b,
+        CAST(len(list_intersect(toks, prev_toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(toks, prev_toks))) AS jac
+      FROM n WHERE prev_id IS NOT NULL
+        AND CAST(len(list_intersect(toks, prev_toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(toks, prev_toks))) >= 0.5"""))
+
   val all: Seq[QueryDef] = Seq(q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash,
+    q135SortedNeighborhood,
     q78Decontamination, q79DupClusters, q109PrefixFilterJoin)
 }

@@ -148,6 +148,41 @@ object ProductAnalytics {
                  JOIN marg my ON pairs.y = my.part
                  CROSS JOIN n"""))
 
+  /** First-order Markov transition estimation over the event stream:
+    * per-user LEAD gives the (from, to) bigram, one hash-agg counts it,
+    * and a window over the from-state normalizes to probabilities. The
+    * transition matrix is ≤ |event types|² rows at any corpus size; the
+    * heavy step is the per-user window, which sub-shards by user exactly
+    * like q120's path mining. Probabilities are a single int64→double
+    * division (deterministic bit-for-bit both engines).
+    */
+  val q137MarkovTransitions: QueryDef = QueryDef(
+    "q137_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      val counts = EventOps.events(s, dir)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_from")).as("p"))
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type,
+          LEAD(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS to_type
+        FROM events),
+      c AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+      FROM c"""))
+
   val all: Seq[QueryDef] =
-    Seq(q120EventPaths, q121RetentionCohorts, q122AssociationRules)
+    Seq(q120EventPaths, q121RetentionCohorts, q122AssociationRules,
+        q137MarkovTransitions)
 }

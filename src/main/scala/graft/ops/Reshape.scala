@@ -142,6 +142,38 @@ object Reshape {
         FROM documents)
       ORDER BY es_key DESC, doc_id ASC LIMIT 50"""))
 
+  /** Deterministic train/validation/test holdout split (90/5/5) keyed on
+    * md5(doc_id) — the split every training pipeline needs to be STABLE
+    * across reruns, engines, and partitionings (no rand(), no
+    * row_number over arbitrary order). A document's split is a pure
+    * function of its id, so incremental corpus additions never reshuffle
+    * existing assignments. One linear pass + one hash agg; the q112/q44
+    * md5-uniform idiom.
+    */
+  val q136HoldoutSplit: QueryDef = QueryDef(
+    "q136_holdout_split",
+    (s, dir) => Tables(s, dir).documents
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("n_chars")),
+    Some("""WITH b AS (SELECT lang, n_chars,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+            AS bucket
+        FROM documents)
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'validation'
+                  ELSE 'test' END AS split,
+        lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM b GROUP BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(q43Pivot, q44HashSample, q45LatestPerKey,
-    q46EditDistance, q47RegexExtract, q77StratifiedSample, q112WeightedSample)
+    q46EditDistance, q47RegexExtract, q77StratifiedSample, q112WeightedSample,
+    q136HoldoutSplit)
 }
