@@ -55,6 +55,62 @@ class SourcesSpec extends SparkTestBase {
     assert(backJson.select("r_name").except(df.select("r_name")).isEmpty)
   }
 
+  test("orc roundtrip preserves schema and pushes filters to the scan") {
+    val t = graft.ops.Tables(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("orc").toString
+    val df = t.orders
+    df.write.mode("overwrite").orc(s"$base/orc")
+    val back = spark.read.orc(s"$base/orc")
+    assert(back.schema == df.schema, "ORC did not preserve the schema")
+    assert(back.count() == df.count())
+    val filtered = back.filter(col("o_totalprice") > 100000.0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"ORC scan did not push the price filter:\n${plan.take(1500)}")
+    assert(filtered.count() ==
+      t.orders.filter(col("o_totalprice") > 100000.0).count())
+  }
+
+  test("bucketed tables co-locate the join: no Exchange between bucketed sides") {
+    // THE 100 TB join shape: pre-bucket both fact tables on the join key
+    // so the shuffle happens once at write time and every subsequent join
+    // is Exchange-free. Spark buckets via saveAsTable; assert the join of
+    // the two bucketed tables plans with zero shuffle exchanges.
+    val t = graft.ops.Tables(spark, sfDir)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      t.lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("bkt_lineitem")
+      t.orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("bkt_orders")
+      val joined = spark.table("bkt_lineitem")
+        .join(spark.table("bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1200))
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${joinSection.take(1500)}")
+      // same answer as the plain (shuffled) join
+      val plain = t.lineitem.join(t.orders,
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("real JDBC roundtrip: jobs snapshot to an embedded Derby table and back") {
     import spark.implicits._
     // the reference's store IS a JDBC database (overseer_jobs); Derby is
