@@ -26,6 +26,18 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(M)).cast("double").as("total_value"))
 
+  /** Tumbling-window distinct users via HLL sketch — the 100 TB streaming
+    * shape for cardinality: exact countDistinct keeps every user id in
+    * state forever, while the sketch holds a fixed 16 KB per window and
+    * merges associatively across triggers (HLL union is order-independent,
+    * so the streaming estimate equals the batch estimate exactly).
+    */
+  def hourlyDistinctSketch(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+        .as("approx_users"))
+
   /** Sliding window: 1-hour span every 15 minutes. */
   def slidingRate(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -33,6 +33,32 @@ class SketchSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("cms_estimate property: never underestimates, respects eps*N, 30 random multisets") {
+    SketchFunctions.registerSql(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 30).foreach { trial =>
+      // zipf-ish multiset over a small alphabet: the CMS regime
+      val n = 200 + rnd.nextInt(800)
+      val alpha = 3 + rnd.nextInt(20)
+      val items = Seq.fill(n)(s"k${(math.sqrt(rnd.nextInt(alpha * alpha))).toInt}")
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      items.toDF("k").createOrReplaceTempView("cms_prop_in")
+      val eps = 0.01
+      val rows = spark.sql(
+        s"""WITH sk AS (SELECT count_min_sketch(k, ${eps}d, 0.99d, $trial) AS s
+              FROM cms_prop_in)
+            SELECT p.k, cms_estimate(sk.s, p.k) AS est
+            FROM (SELECT DISTINCT k FROM cms_prop_in) p, sk""").collect()
+      rows.foreach { r =>
+        val (k, est) = (r.getString(0), r.getLong(1))
+        assert(est >= exact(k), s"trial $trial: CMS underestimated $k")
+        assert(est <= exact(k) + math.ceil(eps * n).toLong * 3,
+          s"trial $trial: $k est $est vs exact ${exact(k)} (n=$n)")
+      }
+    }
+  }
+
   test("q126 bloom-pruned semi join equals the unpruned semi join") {
     val pruned = graft.SparkEntry.queries("q126_bloom_prune_join")(spark, sfDir)
     val t = graft.ops.Tables(spark, sfDir)

@@ -108,6 +108,47 @@ class StreamingSpec extends SparkTestBase {
     assert(streamReady == Set("j1", "j5")) // the truth table's answer
   }
 
+  test("streaming HLL sketch: windowed distinct-user estimate equals batch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = java.nio.file.Files.createTempDirectory("evhll")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      tmp.resolve("part-0.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.hourlyDistinctSketch(stream)
+      .writeStream.format("memory").queryName("evhll")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("evhll")
+        .selectExpr("unix_micros(window.start) AS h", "approx_users")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchEvents = graft.ops.EventOps.events(spark, sfDir)
+      // HLL union is order-independent: stream estimate == batch estimate
+      val batchRows = batchEvents
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("approx_users"),
+             countDistinct(col("user_id")).as("exact_users"))
+        .selectExpr("unix_micros(window.start) AS h", "approx_users", "exact_users")
+        .collect()
+      assert(batchRows.nonEmpty)
+      batchRows.foreach { r =>
+        assert(streamed(r.getLong(0)) == r.getLong(1),
+          s"stream/batch sketch diverge at ${r.getLong(0)}")
+        val (est, exact) = (r.getLong(1), r.getLong(2))
+        assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
+          s"estimate $est vs exact $exact")
+      }
+    } finally q.stop()
+  }
+
   test("tumbling window stream aggregates by hour and type") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
