@@ -13,7 +13,8 @@ object SparkEntry {
       Analytics.all ++ Joins.all ++ Reshape.all ++ Subqueries.all ++
       Pipelines.all ++ CorpusOps.all ++ ReportingOps.all ++ TrainingOps.all ++
       CurationOps.all ++ ScoringOps.all ++ GraphAnalytics.all ++ ScaleOps.all ++
-      ProductAnalytics.all ++ SketchOps.all ++ SignalOps.all
+      ProductAnalytics.all ++ SketchOps.all ++ SignalOps.all ++
+      AttributionOps.all
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
     * (ingest → {enrich, corpus} → report), schedule it through the
