@@ -147,5 +147,85 @@ object Multimodal {
       FROM documents, (SELECT UNNEST(range(0, 100)) AS i) g
       WHERE g.i * 256 < strlen(text)"""))
 
-  val all: Seq[QueryDef] = Seq(q32Multimodal, q53FrameFeatures)
+  /** Pure-JDK audio codec (javax.sound.sampled ships with the JRE): a
+    * document's bytes become 8-bit unsigned PCM samples at 8 kHz in a
+    * real RIFF/WAVE container — sample value == source byte, losslessly
+    * round-tripped, so the oracle can recompute every feature from the
+    * source text. The second modality next to [[ImageCodec]]. */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val windowSamples = 256
+    private val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+
+    /** Render `bytes` as a real WAV payload. */
+    def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real AudioSystem decode → per-256-sample window
+      * (window_id, n_samples, sample_sum, n_peaks) where a peak is a
+      * sample above 96 (in text terms: lowercase letters and beyond —
+      * chosen so the signal is non-degenerate on prose). */
+    def decodeWindows(wav: Array[Byte]): Iterator[(Int, Int, Long, Long)] = {
+      val ais  = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+      val data = ais.readAllBytes()
+      data.grouped(windowSamples).zipWithIndex.map { case (win, i) =>
+        var s = 0L; var p = 0L; var j = 0
+        while (j < win.length) {
+          val v = win(j) & 0xff
+          s += v; if (v > 96) p += 1
+          j += 1
+        }
+        (i, win.length, s, p)
+      }
+    }
+  }
+
+  final case class AudioDoc(doc_id: Long, payload: Array[Byte])
+  final case class AudioFeature(doc_id: Long, window_id: Int,
+                                n_samples: Int, sample_sum: Long, n_peaks: Long)
+
+  /** Audio modality end-to-end: encode each document's bytes as a real
+    * WAV, decode it back through AudioSystem per partition, window the
+    * samples, aggregate per document. Same plumbing contract as the
+    * image path — binary column + typed features + batched
+    * mapPartitions, nothing collects — with a genuine codec in the
+    * middle, and the oracle recomputing every feature from source text
+    * (the WAV round-trip is lossless).
+    */
+  val q146AudioFeatures: QueryDef = QueryDef(
+    "q146_audio_features",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = Tables(s, dir).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          AudioDoc(id, AudioCodec.encodeWav(bytes))
+        })
+      media.mapPartitions(_.flatMap { d =>
+          AudioCodec.decodeWindows(d.payload).map { case (i, n, ss, np) =>
+            AudioFeature(d.doc_id, i, n, ss, np)
+          }
+        }).toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+             sum(col("sample_sum")).as("sample_sum"),
+             sum(col("n_peaks")).as("n_peaks"))
+    },
+    Some("""SELECT doc_id,
+        CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_windows,
+        CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+          i -> ord(text[i]))) AS BIGINT) AS sample_sum,
+        CAST(len(list_filter(range(1, strlen(text) + 1),
+          i -> ord(text[i]) > 96)) AS BIGINT) AS n_peaks
+      FROM documents"""))
+
+  val all: Seq[QueryDef] = Seq(q32Multimodal, q53FrameFeatures, q146AudioFeatures)
 }

@@ -30,6 +30,29 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("property: WAV encode/decode round-trip preserves window sums and peaks") {
+    import graft.ops.Multimodal.AudioCodec
+    val rnd = new scala.util.Random(7)
+    val sizes = Seq(0, 1, 255, 256, 257, 512, 1000) ++
+      (1 to 10).map(_ => rnd.nextInt(5000))
+    sizes.foreach { n =>
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val wav = AudioCodec.encodeWav(bytes)
+      // real RIFF/WAVE container, not a raw buffer
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF", s"n=$n magic")
+      assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE", s"n=$n wave")
+      val wins = AudioCodec.decodeWindows(wav).toSeq
+      assert(wins.size == (if (n == 0) 0 else (n + 255) / 256), s"n=$n windows")
+      wins.foreach { case (i, len, s, p) =>
+        val lo = i * 256
+        val slice = bytes.slice(lo, math.min(lo + 256, n))
+        assert(len == slice.length)
+        assert(s == slice.foldLeft(0L)((a, b) => a + (b & 0xff)), s"n=$n win=$i sum")
+        assert(p == slice.count(b => (b & 0xff) > 96).toLong, s"n=$n win=$i peaks")
+      }
+    }
+  }
+
   test("payloads are real PNG files (magic bytes), not raw buffers") {
     val png = ImageCodec.encodePng("hello multimodal world".getBytes("UTF-8"))
     val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
