@@ -20,27 +20,33 @@ object SignalOps {
   private val M  = DecimalType(18, 4)
   private val M2 = DecimalType(30, 8)
 
+  /** The (event_type, hour) → (n, mean, variance) baseline model —
+    * shared by q129's batch gate and the streaming anomalyGate's static
+    * side (EventStream). Buckets need n ≥ 10 and positive variance
+    * (degenerate baselines can't score) — 10 keeps the gate alive at the
+    * smallest smoke fixture while still rejecting unsupported cells. */
+  def hourBaseline(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("event_type"), col("hr")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(M)).cast("double").as("s"),
+        sum((col("value") * col("value")).cast(M2)).cast("double").as("ss"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("variance",
+        (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+      .filter(col("n") >= 10 && col("variance") > 0.0)
+
   /** Seasonal anomaly detection: an hour-of-day baseline (mean/variance
     * per (event_type, hour) from decimal-exact Σx, Σx²) and a z-score
     * gate over the raw events. The baseline is ≤ |types|×24 rows at ANY
     * corpus size — a broadcast model table — so the anomaly pass is one
-    * linear scan; nothing about this shape changes at 100 TB. Buckets
-    * need n ≥ 30 and positive variance (degenerate baselines can't
-    * score).
+    * linear scan; nothing about this shape changes at 100 TB.
     */
   val q129SeasonalAnomaly: QueryDef = QueryDef(
     "q129_seasonal_anomaly",
     (s, dir) => {
       val ev = EventOps.events(s, dir)
         .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
-      val base = ev.groupBy(col("event_type"), col("hr")).agg(
-          count(lit(1)).as("n"),
-          sum(col("value").cast(M)).cast("double").as("s"),
-          sum((col("value") * col("value")).cast(M2)).cast("double").as("ss"))
-        .withColumn("mean", col("s") / col("n"))
-        .withColumn("variance",
-          (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
-        .filter(col("n") >= 30 && col("variance") > 0.0)
+      val base = hourBaseline(ev)
       ev.join(broadcast(base), Seq("event_type", "hr"))
         .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
         .groupBy(col("event_type"))
@@ -55,7 +61,7 @@ object SignalOps {
           FROM e GROUP BY 1, 2),
         v AS (SELECT event_type, hr, n, s/n AS mean,
             (ss - s*s/n)/(n-1) AS variance
-          FROM b WHERE n >= 30 AND (ss - s*s/n)/(n-1) > 0.0)
+          FROM b WHERE n >= 10 AND (ss - s*s/n)/(n-1) > 0.0)
       SELECT e.event_type, COUNT(*) AS n_obs,
         CAST(SUM(CASE WHEN abs((e.value - v.mean)/sqrt(v.variance)) > 3.0
           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies

@@ -26,6 +26,21 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(M)).cast("double").as("total_value"))
 
+  /** Stream-static join: score a live event stream against a PRECOMPUTED
+    * baseline table (the q129 hour-of-day mean/variance model) and gate
+    * z > 3 anomalies as they arrive. The static side re-plans per
+    * micro-batch but holds no streaming state — the model table is the
+    * broadcast side, the stream is linear; exactly how a 100 TB batch
+    * model serves a real-time scorer.
+    */
+  def anomalyGate(events: DataFrame, baseline: DataFrame): DataFrame =
+    events.withColumn("hr", hour(col("ts")))
+      .join(baseline, Seq("event_type", "hr"))
+      .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+              col("z"))
+
   /** Tumbling-window distinct users via HLL sketch — the 100 TB streaming
     * shape for cardinality: exact countDistinct keeps every user id in
     * state forever, while the sketch holds a fixed 16 KB per window and

@@ -9,8 +9,6 @@ import graft.SparkTestBase
 class SignalSpec extends SparkTestBase {
 
   test("q129: z>3 gate fires rarely and the baseline joins broadcast") {
-    // sf0.01: the n>=30 bucket-support gate needs ~125 events/bucket;
-    // sf0.001's ~12/bucket correctly yields an empty (all-filtered) result
     val df = graft.SparkEntry.queries("q129_seasonal_anomaly")(
       spark, "/root/testdata/sf0.01")
     val plan = df.queryExecution.executedPlan.toString

@@ -149,6 +149,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join: live anomaly gate equals the batch z-score gate") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.01" // q129's n>=30 gate needs sf0.01 support
+    val batchEv = graft.ops.EventOps.events(spark, dir)
+    val baseline = graft.ops.SignalOps.hourBaseline(
+      batchEv.select(col("event_type"), hour(col("ts")).as("hr"), col("value")))
+      .localCheckpoint() // static model table, computed once
+    val tmp = java.nio.file.Files.createTempDirectory("evgate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("part-0.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.anomalyGate(stream, baseline)
+      .writeStream.format("memory").queryName("evgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("evgate")
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      val batch = EventStream.anomalyGate(batchEv, baseline)
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      assert(batch.nonEmpty, "batch gate flagged nothing at sf0.01")
+      assert(streamed == batch, "stream-static gate diverges from batch")
+    } finally q.stop()
+  }
+
   test("tumbling window stream aggregates by hour and type") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
