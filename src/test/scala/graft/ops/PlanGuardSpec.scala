@@ -38,7 +38,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q122_association_rules",  // 1-row order count broadcast (was a driver-side count)
     "q127_hll_users",          // 1-row union-of-sketches estimate broadcast
     "q128_cms_frequency",      // 1-row (sketch, N) broadcast probed per key
-    "q133_source_divergence")  // 1-row corpus token total broadcast
+    "q133_source_divergence",  // 1-row corpus token total broadcast
+    "q149_decayed_popularity") // 1-row max-timestamp horizon broadcast
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
