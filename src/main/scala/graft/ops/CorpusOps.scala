@@ -292,7 +292,80 @@ object CorpusOps {
       FROM r WHERE (cum - c) * 100 < total * 95
       GROUP BY 1"""))
 
+  /** Positional phrase search over an inverted index: exact-phrase
+    * matching ("table hash") via the positional-index join — two
+    * postings lists equi-joined on (doc, position+1). This is how a
+    * search engine answers phrase queries without rescanning text; the
+    * join keys on doc_id and the postings for a term are |occurrences|
+    * rows, so the work is proportional to the phrase terms' frequency,
+    * not the corpus.
+    */
+  val q150PhraseSearch: QueryDef = QueryDef(
+    "q150_phrase_search",
+    (s, dir) => {
+      val pos = Tables(s, dir).documents
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      val a = pos.filter(col("tok") === "table")
+        .select(col("doc_id"), col("pos").as("pos_a"))
+      val b = pos.filter(col("tok") === "hash")
+        .select(col("doc_id"), col("pos").as("pos_b"))
+      a.join(b, a("doc_id") === b("doc_id") && col("pos_b") === col("pos_a") + 1)
+        .groupBy(a("doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"),
+             min(col("pos_a")).cast("long").as("first_pos"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+        pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+          FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i))
+      SELECT a.doc_id, COUNT(*) AS n_occurrences,
+        CAST(MIN(a.pos) AS BIGINT) AS first_pos
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok = 'table' AND b.tok = 'hash'
+      GROUP BY 1"""))
+
+  /** Equi-depth histogram of order prices: exact decile boundaries from
+    * one percentile aggregate, broadcast as an array, bucket assignment
+    * as `size(filter(bounds, b -> price > b))` — a pure projection over
+    * one linear pass (contrast q63's equi-width floor-bucketing). The
+    * boundary row is 9 doubles at any scale; at 100 TB the exact
+    * percentile step swaps for q132's GK sketch with the same downstream
+    * plan.
+    */
+  val q152EquiDepthHistogram: QueryDef = QueryDef(
+    "q152_equidepth_histogram",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val bounds = o.agg(expr(
+        """percentile(o_totalprice,
+          |  array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"""
+          .stripMargin).as("bounds"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr("size(filter(bounds, b -> o_totalprice > b))").cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("o_totalprice")).as("lo"),
+             max(col("o_totalprice")).as("hi"),
+             sum(col("o_totalprice").cast(DecimalType(18, 4)))
+               .cast("double").as("total"))
+    },
+    Some("""WITH b AS (SELECT quantile_cont(o_totalprice,
+            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds
+          FROM orders),
+        x AS (SELECT o_totalprice,
+            CAST(len(list_filter(b.bounds, y -> o_totalprice > y)) AS BIGINT)
+              AS bucket
+          FROM orders CROSS JOIN b)
+      SELECT bucket, COUNT(*) AS n,
+        MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM x GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q58DocChunking, q59DateSpine, q60BigramTopk,
     q61EventCompaction, q62CentroidAssign, q63PriceHistogram, q73ForwardFill,
-    q133SourceDivergence, q134NucleusVocab)
+    q133SourceDivergence, q134NucleusVocab, q150PhraseSearch,
+    q152EquiDepthHistogram)
 }

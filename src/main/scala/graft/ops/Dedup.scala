@@ -430,7 +430,63 @@ object Dedup {
         AND CAST(len(list_intersect(toks, prev_toks)) AS DOUBLE)
           / len(list_distinct(list_concat(toks, prev_toks))) >= 0.5"""))
 
+  /** SimHash Hamming-neighbor join (Manku et al.'s multi-index trick,
+    * completing q29's signature computation with the SEARCH): split each
+    * 64-bit signature into 4×16-bit bands — any pair within Hamming
+    * distance 3 must agree on at least one band (3 flipped bits touch at
+    * most 3 of the 4) — so candidates come from four band EQUI-joins and
+    * the exact `bit_count(xor)` verify runs per candidate only. Recall
+    * is 1.0 by the pigeonhole argument, which is why the brute-force
+    * DuckDB pair set is a valid oracle. The banded self-join is the
+    * 100 TB plan; the signatures are 8 bytes per doc.
+    */
+  val q151SimhashNeighbors: QueryDef = QueryDef(
+    "q151_simhash_neighbors",
+    (s, dir) => {
+      val sigs = q29Simhash.fn(s, dir).localCheckpoint() // one signature pass
+      val bands = sigs.selectExpr("doc_id", "sig",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_val)")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+                col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\w+')) AS t
+        FROM documents),
+      hashes AS (
+        SELECT doc_id,
+          (h_hi - CASE WHEN h_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+            * 4294967296 + h_lo AS h
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_hi,
+                ('0x' || substr(md5(t), 9, 8))::BIGINT AS h_lo
+              FROM toks)),
+      votes AS (
+        SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) > 0 AS bit
+        FROM hashes CROSS JOIN range(0, 64) r(b)
+        GROUP BY 1, 2),
+      sigs AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN bit AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
+            + CASE WHEN bool_or(bit AND b = 63)
+                   THEN -9223372036854775808 ELSE 0 END AS BIGINT) AS sig
+        FROM votes GROUP BY 1)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3"""))
+
   val all: Seq[QueryDef] = Seq(q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash,
-    q135SortedNeighborhood,
+    q135SortedNeighborhood, q151SimhashNeighbors,
     q78Decontamination, q79DupClusters, q109PrefixFilterJoin)
 }

@@ -39,7 +39,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q127_hll_users",          // 1-row union-of-sketches estimate broadcast
     "q128_cms_frequency",      // 1-row (sketch, N) broadcast probed per key
     "q133_source_divergence",  // 1-row corpus token total broadcast
-    "q149_decayed_popularity") // 1-row max-timestamp horizon broadcast
+    "q149_decayed_popularity", // 1-row max-timestamp horizon broadcast
+    "q152_equidepth_histogram") // 1-row decile-bounds array broadcast
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
