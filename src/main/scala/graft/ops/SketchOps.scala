@@ -129,5 +129,59 @@ object SketchOps {
         TRUE AS cms_within_bounds
       FROM events GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q126BloomPruneJoin, q127HllUsers, q128CmsFrequency)
+  /** Pairwise audience overlap via HLL inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) is the UNION of
+    * the two per-type sketches — never a rescan. This is how overlap
+    * matrices get built when the sets are too big to intersect exactly:
+    * n² pair intersections collapse to n sketches + cheap pairwise
+    * unions. Exact per-pair intersections (a user-keyed self-join,
+    * bounded by per-user type fan-out) certify the estimate within 5% of
+    * the union size, oracle-pinned TRUE.
+    */
+  val q153HllOverlap: QueryDef = QueryDef(
+    "q153_hll_overlap",
+    (s, dir) => {
+      val ut = EventOps.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sk = ut.groupBy(col("event_type")).agg(
+        hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+        count(lit(1)).as("exact"))
+      val pairsSk = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+                col("b.event_type").as("type_b"),
+                col("a.exact").as("exact_a"), col("b.exact").as("exact_b"),
+                (hll_sketch_estimate(col("a.sk")) +
+                 hll_sketch_estimate(col("b.sk")) -
+                 hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+                  .as("est_inter"),
+                hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))
+                  .as("est_union"))
+      val exactInter = ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+                 col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairsSk.join(exactInter, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"),
+          col("exact_a"), col("exact_b"), col("exact_inter"),
+          (abs(col("est_inter") - col("exact_inter")) <=
+            col("est_union") * 0.05).as("est_within_5pct"))
+    },
+    Some("""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        c AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+        i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+            COUNT(*) AS exact_inter
+          FROM ut x JOIN ut y ON x.user_id = y.user_id
+            AND x.event_type < y.event_type
+          GROUP BY 1, 2)
+      SELECT i.type_a, i.type_b,
+        ca.n AS exact_a, cb.n AS exact_b, i.exact_inter,
+        TRUE AS est_within_5pct
+      FROM i JOIN c ca ON i.type_a = ca.event_type
+             JOIN c cb ON i.type_b = cb.event_type"""))
+
+  val all: Seq[QueryDef] = Seq(q126BloomPruneJoin, q127HllUsers, q128CmsFrequency,
+    q153HllOverlap)
 }

@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q128_cms_frequency",      // 1-row (sketch, N) broadcast probed per key
     "q133_source_divergence",  // 1-row corpus token total broadcast
     "q149_decayed_popularity", // 1-row max-timestamp horizon broadcast
-    "q152_equidepth_histogram") // 1-row decile-bounds array broadcast
+    "q152_equidepth_histogram", // 1-row decile-bounds array broadcast
+    "q153_hll_overlap")        // |types|-row sketch table paired with itself (model-sized at any scale)
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
