@@ -182,7 +182,44 @@ object ProductAnalytics {
         CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
       FROM c"""))
 
+  /** Sequence-pattern matching over per-user event strings (the
+    * CEP / MATCH_RECOGNIZE family): each user's time-ordered history
+    * compresses to a letter string (c/v/p/s/e), and behavioral patterns
+    * become regexes over it — browse-then-buy `v.*p`, ends-in-error
+    * `e[^p]*$`, signup-first `^s`. One hash-agg builds the strings
+    * (array_sort of (ts,id,letter) structs makes them
+    * partition-order-independent); per-user state is bounded by that
+    * user's event count, and the pattern pass is a projection.
+    */
+  val q154SequencePatterns: QueryDef = QueryDef(
+    "q154_sequence_patterns",
+    (s, dir) => {
+      val paths = EventOps.events(s, dir)
+        .withColumn("letter", substring(col("event_type"), 1, 1))
+        .groupBy(col("user_id"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, letter))), x -> x.letter)"),
+          "").as("path"))
+      paths.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("path").rlike("v.*p"), 1L).otherwise(0L)).as("n_browse_buy"),
+        sum(when(col("path").rlike("e[^p]*$"), 1L).otherwise(0L)).as("n_end_in_error"),
+        sum(when(col("path").rlike("^s"), 1L).otherwise(0L)).as("n_signup_first"))
+    },
+    Some("""WITH p AS (SELECT user_id,
+          string_agg(substr(event_type, 1, 1), ''
+            ORDER BY ts, event_id) AS path
+        FROM events GROUP BY 1)
+      SELECT COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN regexp_matches(path, 'v.*p') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_browse_buy,
+        CAST(SUM(CASE WHEN regexp_matches(path, 'e[^p]*$') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_end_in_error,
+        CAST(SUM(CASE WHEN regexp_matches(path, '^s') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_signup_first
+      FROM p"""))
+
   val all: Seq[QueryDef] =
     Seq(q120EventPaths, q121RetentionCohorts, q122AssociationRules,
-        q137MarkovTransitions)
+        q137MarkovTransitions, q154SequencePatterns)
 }

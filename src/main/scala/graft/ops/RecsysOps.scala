@@ -136,6 +136,60 @@ object RecsysOps {
         CAST(SUM(decay) AS DOUBLE) AS decayed_score
       FROM d GROUP BY 1"""))
 
+  /** Offline ranking evaluation: NDCG@5 of q147's cosine ranking against
+    * co-purchase count as graded relevance. DCG sums rel/log2(pos+1)
+    * over the system order; IDCG over the relevance-ideal order (ties by
+    * neighbor id, both engines); per-item NDCG = DCG/IDCG. The metric
+    * every recsys pipeline reports, computed entirely in-plan: the q147
+    * frame plus one ideal-order ranking window — no collect, no
+    * driver-side scoring. round(6) absorbs 5-term double-sum ordering
+    * (q94's discipline).
+    */
+  val q155NdcgEval: QueryDef = QueryDef(
+    "q155_ndcg_eval",
+    (s, dir) => {
+      val ranked = q147ItemItemCosine.fn(s, dir)
+      val ideal = Window.partitionBy(col("x"))
+        .orderBy(col("c_xy").desc, col("y").asc)
+      ranked
+        .withColumn("ideal_rk", row_number().over(ideal))
+        .withColumn("dcg_term",
+          col("c_xy").cast("double") / (log(col("rk") + 1.0) / log(lit(2.0))))
+        .withColumn("idcg_term",
+          col("c_xy").cast("double") /
+            (log(col("ideal_rk") + 1.0) / log(lit(2.0))))
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("k"),
+             round(sum(col("dcg_term")), 6).as("dcg"),
+             round(sum(col("idcg_term")), 6).as("idcg"),
+             round(sum(col("dcg_term")) / sum(col("idcg_term")), 6).as("ndcg"))
+    },
+    Some("""WITH o AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+          FROM lineitem),
+        p AS (SELECT a.part AS x, b.part AS y, COUNT(*) AS c_xy
+          FROM o a JOIN o b ON a.ok = b.ok AND a.part < b.part
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        m AS (SELECT part, COUNT(*) AS c FROM o GROUP BY 1),
+        sc AS (SELECT p.x, p.y, p.c_xy,
+            round(CAST(p.c_xy AS DOUBLE) /
+              sqrt(CAST(mx.c AS DOUBLE) * CAST(my.c AS DOUBLE)), 6) AS cos
+          FROM p JOIN m mx ON p.x = mx.part JOIN m my ON p.y = my.part),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x
+            ORDER BY cos DESC, y ASC) AS rk FROM sc),
+        top AS (SELECT * FROM r WHERE rk <= 5),
+        t2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x
+            ORDER BY c_xy DESC, y ASC) AS ideal_rk FROM top),
+        terms AS (SELECT x,
+            CAST(c_xy AS DOUBLE) / (ln(rk + 1.0) / ln(2.0)) AS dcg_term,
+            CAST(c_xy AS DOUBLE) / (ln(ideal_rk + 1.0) / ln(2.0)) AS idcg_term
+          FROM t2)
+      SELECT x, COUNT(*) AS k,
+        round(SUM(dcg_term), 6) AS dcg,
+        round(SUM(idcg_term), 6) AS idcg,
+        round(SUM(dcg_term) / SUM(idcg_term), 6) AS ndcg
+      FROM terms GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q147ItemItemCosine, q148LinearAttribution, q149DecayedPopularity)
+    Seq(q147ItemItemCosine, q148LinearAttribution, q149DecayedPopularity,
+        q155NdcgEval)
 }

@@ -41,6 +41,27 @@ class RecsysSpec extends SparkTestBase {
       s"credit $credited vs attributed purchase revenue $attributedTotal")
   }
 
+  test("q155: NDCG in (0,1], equals 1 exactly when system order is ideal") {
+    val rows = graft.SparkEntry.queries("q155_ndcg_eval")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getDouble(4)
+      assert(n > 0.0 && n <= 1.0 + 1e-9, s"item ${r.getLong(0)}: ndcg $n")
+      assert(r.getLong(1) <= 5)
+    }
+    // cosine order and relevance order agree for at least some items
+    assert(rows.exists(_.getDouble(4) >= 0.999), "no item ranked ideally")
+  }
+
+  test("q154: pattern counts bounded by user count, all users pathed") {
+    val r = graft.SparkEntry.queries("q154_sequence_patterns")(spark, sfDir)
+      .collect().head
+    val users = EventOps.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) == users)
+    (1 to 3).foreach(i => assert(r.getLong(i) <= r.getLong(0)))
+  }
+
   test("q149: decayed score positive, at most n_events, monotone in recency") {
     val rows = graft.SparkEntry.queries("q149_decayed_popularity")(spark, sfDir)
       .collect()
