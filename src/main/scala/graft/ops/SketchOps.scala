@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.SketchFunctions
 
@@ -15,8 +14,6 @@ import graft.functions.SketchFunctions
   * mismatch, not a silently-wrong number).
   */
 object SketchOps {
-
-  private val M = DecimalType(18, 4)
 
   /** Bloom-pruned semi join: lineitem rows whose order cleared a price
     * threshold. The bloom filter is built over the FILTERED key set
