@@ -211,6 +211,54 @@ object AuditOps {
       FROM events e JOIN b USING (event_type)
       GROUP BY 1"""))
 
+  /** Join-cardinality pre-flight: the EXACT output size of a join,
+    * computed from per-key counts without running it —
+    * |A ⋈ B| = Σ_k c_A(k)·c_B(k). Two hash-aggs plus a join of the
+    * (key, count) profiles, each profile orders of magnitude smaller
+    * than its table. Paired with q143's skew audit, this is the planner
+    * arithmetic a pipeline runs BEFORE committing to a join order at
+    * 100 TB. Products stay int64 (per-key fan-outs are bounded; the sum
+    * equals the join's row count).
+    */
+  val q156JoinCardinality: QueryDef = QueryDef(
+    "q156_join_cardinality",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def profile(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def preflight(a: org.apache.spark.sql.DataFrame, ka: String,
+                    b: org.apache.spark.sql.DataFrame, kb: String,
+                    tag: String) =
+        profile(a, ka).join(profile(b, kb).withColumnRenamed("c", "c2"), Seq("k"))
+          .agg(lit(tag).as("join_name"),
+               count(lit(1)).as("n_matching_keys"),
+               sum(col("c") * col("c2")).as("exact_join_rows"))
+      preflight(t.orders, "o_orderkey", t.lineitem, "l_orderkey",
+          "orders=lineitem@orderkey")
+        .unionAll(preflight(t.customer, "c_custkey", t.orders, "o_custkey",
+          "customer=orders@custkey"))
+        .unionAll(preflight(t.supplier, "s_nationkey", t.customer, "c_nationkey",
+          "supplier=customer@nationkey"))
+    },
+    Some("""WITH p1 AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        p2 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        p3 AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+        p4 AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        p5 AS (SELECT s_nationkey AS k, COUNT(*) AS c FROM supplier GROUP BY 1),
+        p6 AS (SELECT c_nationkey AS k, COUNT(*) AS c FROM customer GROUP BY 1)
+      SELECT 'orders=lineitem@orderkey' AS join_name,
+        COUNT(*) AS n_matching_keys,
+        CAST(SUM(p1.c * p2.c) AS BIGINT) AS exact_join_rows
+      FROM p1 JOIN p2 USING (k)
+      UNION ALL
+      SELECT 'customer=orders@custkey', COUNT(*),
+        CAST(SUM(p3.c * p4.c) AS BIGINT)
+      FROM p3 JOIN p4 USING (k)
+      UNION ALL
+      SELECT 'supplier=customer@nationkey', COUNT(*),
+        CAST(SUM(p5.c * p6.c) AS BIGINT)
+      FROM p5 JOIN p6 USING (k)"""))
+
   val all: Seq[QueryDef] = Seq(q141RankBlend, q142CohensKappa, q143SkewAudit,
-    q144TimeToConvert, q145WinsorizedMean)
+    q144TimeToConvert, q145WinsorizedMean, q156JoinCardinality)
 }

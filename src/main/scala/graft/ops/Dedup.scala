@@ -311,6 +311,59 @@ object Dedup {
         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM cl"""))
 
+  /** Golden-record survivorship (the MDM step after dedup): within each
+    * q79 duplicate cluster, elect the canonical record by rule — longest
+    * text, ties to the lowest id — and roll the cluster up to one
+    * surviving row with merged attributes. One ranking window over the
+    * cluster frame plus a broadcast-sized stats agg; the expensive part
+    * (clustering) is q79's label propagation, reused as-is.
+    */
+  val q157GoldenRecord: QueryDef = QueryDef(
+    "q157_golden_record",
+    (s, dir) => {
+      val clustered = q79DupClusters.fn(s, dir)
+        .join(Tables(s, dir).documents
+                .select(col("doc_id"), col("lang"), col("n_chars")),
+              Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val survivors = clustered.withColumn("rk", row_number().over(w))
+      survivors.groupBy(col("cluster_id"))
+        .agg(min(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+             first(col("cluster_size")).as("cluster_size"),
+             sum(col("n_chars")).as("total_chars"),
+             countDistinct(col("lang")).as("n_langs"))
+    },
+    Some("""WITH RECURSIVE t AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '\w+') AS toks
+        FROM documents),
+      s AS (SELECT doc_id,
+          list_transform(range(1, len(toks)-1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        FROM t WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS r FROM e
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+      cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+      j AS (SELECT cl.id AS doc_id, cl.cluster_id, d.lang, d.n_chars
+        FROM cl JOIN documents d ON cl.id = d.doc_id),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+          ORDER BY n_chars DESC, doc_id ASC) AS rk FROM j)
+      SELECT cluster_id,
+        MIN(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+        COUNT(*) AS cluster_size,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        COUNT(DISTINCT lang) AS n_langs
+      FROM rk GROUP BY 1"""))
+
   /** EXACT similarity self-join at scale via prefix filtering (the
     * AllPairs/PPJoin family, Bayardo et al. WWW'07) — the deterministic
     * twin of q28: same contract (shingle-Jaccard ≥ 0.5 pairs, exact
@@ -488,5 +541,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash,
     q135SortedNeighborhood, q151SimhashNeighbors,
-    q78Decontamination, q79DupClusters, q109PrefixFilterJoin)
+    q78Decontamination, q79DupClusters, q109PrefixFilterJoin, q157GoldenRecord)
 }
