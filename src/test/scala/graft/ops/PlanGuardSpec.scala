@@ -42,7 +42,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q149_decayed_popularity", // 1-row max-timestamp horizon broadcast
     "q152_equidepth_histogram", // 1-row decile-bounds array broadcast
     "q153_hll_overlap",        // |types|-row sketch table paired with itself (model-sized at any scale)
-    "q159_rfm_segments")       // two 1-row percentile-cutoff broadcasts (the q145 idiom)
+    "q159_rfm_segments",       // two 1-row percentile-cutoff broadcasts (the q145 idiom)
+    "q161_kaplan_meier")       // 1-row censoring-horizon broadcast
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
