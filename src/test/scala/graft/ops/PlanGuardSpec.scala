@@ -43,7 +43,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q152_equidepth_histogram", // 1-row decile-bounds array broadcast
     "q153_hll_overlap",        // |types|-row sketch table paired with itself (model-sized at any scale)
     "q159_rfm_segments",       // two 1-row percentile-cutoff broadcasts (the q145 idiom)
-    "q161_kaplan_meier")       // 1-row censoring-horizon broadcast
+    "q161_kaplan_meier",       // 1-row censoring-horizon broadcast
+    "q164_welch_ttest")        // 1-row baseline-moments broadcast
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
