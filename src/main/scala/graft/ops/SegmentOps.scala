@@ -198,5 +198,59 @@ object SegmentOps {
       FROM f a JOIN f b ON a.doc_id <> b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.sz >= 0.8"""))
 
-  val all: Seq[QueryDef] = Seq(q158PivotMatrix, q159RfmSegments, q160ContainmentJoin)
+  /** Unpivot/melt — the inverse reshape of q158: a wide per-nation
+    * profile (customer, supplier, order counts) melts into tidy
+    * (entity, metric, value) rows, the layout metric stores and chart
+    * layers consume. Spark's native `unpivot` expands columns to rows
+    * in the projection — no shuffle beyond the profile build, and the
+    * profile itself is three keyed counts stitched by broadcast join
+    * onto the 25-row nation dim. Explicit value-column list (never the
+    * infer-all overload): at 100 TB you melt the columns you mean.
+    */
+  val q168Unpivot: QueryDef = QueryDef(
+    "q168_unpivot",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer.groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_customers"))
+      val su = t.supplier.groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val o = t.orders
+        .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_orders"))
+      t.nation.select(col("n_nationkey").as("nk"), col("n_name"))
+        .join(broadcast(c), Seq("nk"), "left")
+        .join(broadcast(su), Seq("nk"), "left")
+        .join(broadcast(o), Seq("nk"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .unpivot(Array(col("n_name")),
+          Array(col("n_customers"), col("n_suppliers"), col("n_orders")),
+          "metric", "value")
+    },
+    Some("""WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+          FROM customer GROUP BY 1),
+      su AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY 1),
+      o AS (SELECT c_nationkey AS nk, COUNT(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      wide AS (SELECT n_name,
+          COALESCE(c.n_customers, 0) AS n_customers,
+          COALESCE(su.n_suppliers, 0) AS n_suppliers,
+          COALESCE(o.n_orders, 0) AS n_orders
+        FROM nation
+        LEFT JOIN c ON n_nationkey = c.nk
+        LEFT JOIN su ON n_nationkey = su.nk
+        LEFT JOIN o ON n_nationkey = o.nk)
+      SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM wide
+      UNION ALL
+      SELECT n_name, 'n_suppliers', n_suppliers FROM wide
+      UNION ALL
+      SELECT n_name, 'n_orders', n_orders FROM wide"""))
+
+  val all: Seq[QueryDef] = Seq(q158PivotMatrix, q159RfmSegments,
+    q160ContainmentJoin, q168Unpivot)
 }
