@@ -46,7 +46,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q161_kaplan_meier",       // 1-row censoring-horizon broadcast
     "q164_welch_ttest",        // 1-row baseline-moments broadcast
     "q172_negative_sampling",  // 50-row candidate pool broadcast (model-sized at any scale)
-    "q181_token_pmi")          // 1-row corpus-size broadcast (the q56/q91 idiom)
+    "q181_token_pmi",          // 1-row corpus-size broadcast (the q56/q91 idiom)
+    "q184_cumulative_gains")   // 1-row decile-bounds array broadcast (the q152 idiom)
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
