@@ -47,7 +47,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q164_welch_ttest",        // 1-row baseline-moments broadcast
     "q172_negative_sampling",  // 50-row candidate pool broadcast (model-sized at any scale)
     "q181_token_pmi",          // 1-row corpus-size broadcast (the q56/q91 idiom)
-    "q184_cumulative_gains")   // 1-row decile-bounds array broadcast (the q152 idiom)
+    "q184_cumulative_gains",   // 1-row decile-bounds array broadcast (the q152 idiom)
+    "q202_lorenz_deciles",     // 1-row decile-bounds array broadcast (the q152 idiom)
+    "q203_word_burstiness")    // 1-row doc-count scalar broadcast (the q56/q91 idiom)
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
