@@ -49,7 +49,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q181_token_pmi",          // 1-row corpus-size broadcast (the q56/q91 idiom)
     "q184_cumulative_gains",   // 1-row decile-bounds array broadcast (the q152 idiom)
     "q202_lorenz_deciles",     // 1-row decile-bounds array broadcast (the q152 idiom)
-    "q203_word_burstiness")    // 1-row doc-count scalar broadcast (the q56/q91 idiom)
+    "q203_word_burstiness",    // 1-row doc-count scalar broadcast (the q56/q91 idiom)
+    "q213_ttl_projection")     // 1-row max-ts horizon broadcast (the q149 idiom)
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
