@@ -50,7 +50,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q184_cumulative_gains",   // 1-row decile-bounds array broadcast (the q152 idiom)
     "q202_lorenz_deciles",     // 1-row decile-bounds array broadcast (the q152 idiom)
     "q203_word_burstiness",    // 1-row doc-count scalar broadcast (the q56/q91 idiom)
-    "q213_ttl_projection")     // 1-row max-ts horizon broadcast (the q149 idiom)
+    "q213_ttl_projection",     // 1-row max-ts horizon broadcast (the q149 idiom)
+    "q215_two_proportion_z",   // two 1-row arm aggregates cross-joined
+    "q217_fk_integrity")       // 7 edges × 1-row count aggregates cross-joined
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
