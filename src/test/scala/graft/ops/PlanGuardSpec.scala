@@ -52,7 +52,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q203_word_burstiness",    // 1-row doc-count scalar broadcast (the q56/q91 idiom)
     "q213_ttl_projection",     // 1-row max-ts horizon broadcast (the q149 idiom)
     "q215_two_proportion_z",   // two 1-row arm aggregates cross-joined
-    "q217_fk_integrity")       // 7 edges × 1-row count aggregates cross-joined
+    "q217_fk_integrity",       // 7 edges × 1-row count aggregates cross-joined
+    "q219_freshness_audit",    // 1-row horizon broadcast (the q149 idiom)
+    "q220_simpson_detector")   // 1-row pooled-slope broadcast
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
