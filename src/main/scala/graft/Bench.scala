@@ -82,7 +82,15 @@ object Bench {
     // it, or the regression is real and BOTH numbers land in the JSON.
     val prior: Map[String, Double] = {
       val f = new java.io.File("tools/bench_prior.json")
-      if (!f.isFile) Map.empty
+      if (!f.isFile) {
+        // cwd-relative path: run from outside the repo root the prior map
+        // is empty and the regression self-check is inert — say so loudly
+        // instead of silently skipping every recheck
+        System.err.println(
+          s"[bench] WARNING: ${f.getAbsolutePath} not found — prior floors " +
+            "unavailable, the >1.5x regression self-check will not fire")
+        Map.empty
+      }
       else {
         val txt = scala.io.Source.fromFile(f).mkString
         """"(q\d+[a-z0-9_]*)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
@@ -91,7 +99,12 @@ object Bench {
     }
     val rechecks = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
     val results = firstPass.map { case (name, t) =>
-      val suspect = prior.get(name).exists(p => t > 2 * p && t > 0.3)
+      // 1.5x of the committed floor (was 2x): r7 showed a cluster of
+      // 1.6-1.9x drifts that escaped the recheck — rechecks are cheap
+      // (5 fired in the whole r7 driver run), so trigger earlier and pin
+      // every drift with an isolated number instead of arguing "plausibly
+      // environmental" after the fact
+      val suspect = prior.get(name).exists(p => t > 1.5 * p && t > 0.3)
       if (!suspect || failed.contains(name)) name -> t
       else {
         quiesce()
@@ -109,7 +122,14 @@ object Bench {
     val recheckJson = rechecks.map { case (n, t, i) =>
       s"""{"name":"$n","first":$t,"isolated":$i}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"isolated_rechecks":$recheckJson,"warmup":$warmJson,"runs_per_query":2,"agg":"min","sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"isolated_rechecks":$recheckJson,"warmup":$warmJson,"runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
+    println(json)
+    // also write the artifact to a file: the driver's stdout capture is
+    // tail-bounded and one JSON line over 225 queries exceeds it (BENCH_r06
+    // and r07 both came back "parsed": null) — a committed file is always
+    // machine-readable
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

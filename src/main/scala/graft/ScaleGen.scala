@@ -1,24 +1,53 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Build a larger scale factor from the driver-generated testdata by
   * replicating fact tables N× with disjoint key ranges (dimension tables
   * are carried over unchanged — TPC-H-style fact scaling). Used for the
-  * sf1 scale experiment recorded in BASELINE.md: the point is to measure
-  * how the registered plans behave at 10× the driver's largest SF, with
-  * workload shape preserved:
+  * sf1/sf10 scale experiments recorded in BASELINE.md: the point is to
+  * measure how the registered plans behave at 10×/100× the driver's
+  * largest SF, with workload shape preserved:
   *
   *  - every fact key is offset by copy × (max_key + 1), so copies are
   *    disjoint but foreign keys into the unchanged dimensions still land
-  *  - documents/embeddings copies keep their text/vectors, so each row
-  *    gains 9 exact twins — dedup operators (q26/q28/q57/q74) see cluster
-  *    sizes grow, candidate structure intact (a heavy-dup crawl corpus)
   *  - part's implicit binary tree (child → child div 2, q21) stays rooted
   *    at 1 and simply deepens — closure work scales with the key space
   *  - events keep timestamps; user_id/event_id are offset, so sessions and
   *    as-of structure replicate per copy
+  *
+  * Replicated CONTENT is perturbed, not cloned. Earlier rounds replicated
+  * documents/embeddings/lineitem as exact twins, which super-linearly
+  * inflated near-dup pair counts for exactly the operators whose scale
+  * story matters most (q74/q79/q109/q122/q131 — every copy pair of a doc
+  * was a guaranteed candidate AND a guaranteed match, so pairs grew as
+  * copies² while data grew as copies). Now each copy c > 0 diverges from
+  * its source at a rate controlled by c, so a bounded number of copy
+  * pairs sit above the operators' similarity thresholds and pair counts
+  * grow ~linearly with copies — the realistic crawl-corpus regime
+  * (near-dups exist at every distance; only a few are above threshold):
+  *
+  *  - documents: append a tail of globally-unique tokens (unique per
+  *    (source doc, copy, position)), length = (len/4) × min(c, 6). Tails
+  *    are disjoint between copies, so 3-shingle Jaccard between copies a,b
+  *    of an average doc is ≈ 1/(1 + 0.25(min(a,6)+min(b,6))): copy pairs
+  *    with small indices stay ≥ 0.5 (q28/q79's threshold), distant ones
+  *    fall below it, and the min(·,6) cap bounds both the per-doc text
+  *    growth and the above-threshold pair count per source doc at ANY
+  *    copy factor.
+  *  - embeddings: deterministic hash noise of amplitude 0.6×min(c,4) on
+  *    the last 16 dims. Cosine between copies a,b of a ~unit vector is
+  *    ≈ 1/√((1+0.52a²)(1+0.52b²)): a handful of close-copy pairs stay
+  *    above q74's 0.4 threshold, the rest fall well below.
+  *  - both keep every 10th source row's copies EXACT twins — real corpora
+  *    carry an exact-duplicate mass too (mirrors, reposts), and exact
+  *    dedup (q26) should keep seeing it.
+  *  - lineitem: l_partkey is rotated per copy within the base part range
+  *    (a bijection, so per-copy frequency shape is preserved and FKs still
+  *    land). Baskets in different copies stop being identical item sets,
+  *    so association-rule supports (q122) spread over rotated pairs
+  *    instead of re-counting the same basket 10×.
   *
   * Usage: runMain graft.ScaleGen <srcDir> <outDir> <copies>
   */
@@ -39,27 +68,68 @@ object ScaleGen {
       println(s"[scalegen] wrote $name")
     }
 
-    /** N× the rows; each copy's `keys` shifted into a disjoint range. */
-    def replicate(df: DataFrame, keys: Seq[String]): DataFrame = {
+    /** N× the rows; each copy's `keys` shifted into a disjoint range.
+      * `perturb` runs BEFORE the key shift, so it sees the ORIGINAL ids
+      * plus the `__copy` index — (id, __copy) is unique, which is what
+      * the content perturbations key their determinism on. */
+    def replicate(df: DataFrame, keys: Seq[String],
+                  perturb: DataFrame => DataFrame = identity): DataFrame = {
       val spans = keys.map { k =>
         k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
       }
       val copied = df.crossJoin(
         broadcast(spark.range(copies).select(col("id").as("__copy"))))
-      keys.foldLeft(copied) { case (d, k) =>
+      keys.foldLeft(perturb(copied)) { case (d, k) =>
         d.withColumn(k, col(k) + col("__copy") * lit(spans.toMap.apply(k)))
       }.drop("__copy")
     }
+
+    /** Exact-twin carve-out: every 10th source row's copies stay clones. */
+    def exactTwin(idCol: String): Column =
+      col("__copy") === 0 || col(idCol) % 10 === 0
 
     val t = graft.ops.Tables(spark, src)
     Seq("region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
         "supplier" -> t.supplier).foreach { case (n, df) => write(df, n) }
 
+    val basePartSpan = t.part.agg(max(col("p_partkey"))).head().getLong(0)
+
     write(replicate(t.part, Seq("p_partkey")), "part")
     write(replicate(t.orders, Seq("o_orderkey")), "orders")
-    write(replicate(t.lineitem, Seq("l_orderkey")), "lineitem")
-    write(replicate(t.documents, Seq("doc_id")), "documents")
-    write(replicate(t.embeddings, Seq("vec_id")), "embeddings")
+    write(replicate(t.lineitem, Seq("l_orderkey"), d =>
+      // rotate basket composition per copy (bijective within the base
+      // part key range [1, basePartSpan]; 7919 is just a fixed stride)
+      d.withColumn("l_partkey",
+        (col("l_partkey") - 1 + col("__copy") * lit(7919L)) % lit(basePartSpan) + 1)),
+      "lineitem")
+
+    write(replicate(t.documents, Seq("doc_id"), d =>
+      d.withColumn("text", when(exactTwin("doc_id"), col("text"))
+        .otherwise {
+          // tail length ∝ doc length × min(copy, 6); tokens unique per
+          // (doc, copy, position) so tails never collide across docs or
+          // copies — they only DILUTE shingle sets, never link them
+          val tailLen = greatest(lit(1),
+            (size(split(col("text"), " ")) / 4).cast("int") *
+              least(col("__copy"), lit(6)).cast("int"))
+          concat(col("text"), lit(" "), array_join(
+            transform(sequence(lit(1), tailLen),
+              i => concat(lit("z"), col("doc_id"), lit("c"), col("__copy"),
+                          lit("p"), i)), " "))
+        })), "documents")
+
+    write(replicate(t.embeddings, Seq("vec_id"), d =>
+      d.withColumn("embedding", when(exactTwin("vec_id"), col("embedding"))
+        .otherwise {
+          // ±0.3 × min(copy,4) deterministic noise on the last 16 dims:
+          // hash(vec, copy, dim) → uniform in [-0.5, 0.5), scaled
+          val amp = least(col("__copy"), lit(4)).cast("double") * 0.6
+          transform(col("embedding"), (x, i) =>
+            when(i >= size(col("embedding")) - 16,
+              (x + (pmod(hash(col("vec_id"), col("__copy"), i), lit(1000))
+                      .cast("double") / 1000.0 - 0.5) * amp).cast("float"))
+            .otherwise(x))
+        })), "embeddings")
 
     // events.parquet stores TIMESTAMP(NANOS); read raw as long nanos and
     // write the BIGINT column straight back — EventOps.events handles both

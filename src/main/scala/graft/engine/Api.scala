@@ -129,14 +129,21 @@ object GraftConfig {
 object Graft {
 
   /** Adapter key → constructor, the api.clj:25-33 dispatch table. `jdbc`
-    * covers the reference's mysql/h2/sqlite trio (any JDBC URL — one
-    * driver-agnostic store, store/jdbc.clj); `memory` and `log` are this
-    * library's embedded backends. The engine-specific error shapes the
-    * trio actually differ on (dup-PK, already-exists) are handled
-    * per-adapter in [[JdbcJobStore.isDuplicateKey]]/[[JdbcJobStore.isAlreadyExists]]
-    * and unit-tested per engine; Derby is the integration-tested backend
-    * (the only driver shipped in this offline environment). */
-  private val jdbcAdapters = Set("jdbc", "derby", "mysql", "h2", "sqlite")
+    * is the driver-agnostic store (any JDBC URL, store/jdbc.clj);
+    * `memory`/`log`/`shared-log` are this library's embedded backends.
+    *
+    * Only integration-tested adapters are advertised: Derby is the one
+    * JDBC engine whose driver ships in this build, so the reference's
+    * mysql/h2/sqlite adapter KEYS are deliberately not claimed here —
+    * a config naming them fails loudly rather than implying a tested
+    * code path. Their engine-specific error shapes (dup-PK,
+    * already-exists) ARE still recognized by
+    * [[JdbcJobStore.isDuplicateKey]]/[[JdbcJobStore.isAlreadyExists]]
+    * (unit-tested against each vendor's documented error shape), so a
+    * deployment that brings its own driver can use `adapter: jdbc` with
+    * that engine's URL — but that path is explicitly best-effort, not
+    * an advertised, integration-tested backend. */
+  private val jdbcAdapters = Set("jdbc", "derby")
 
   def store(config: GraftConfig): JobStore = {
     val adapter = config.store.adapter

@@ -62,7 +62,7 @@ object JdbcJobStore {
       val state = Option(ex.getSQLState).getOrElse("")
       val msg = Option(ex.getMessage).getOrElse("")
       state == "23505" ||
-      ex.getErrorCode == 1062 ||
+      (state == "23000" && ex.getErrorCode == 1062) ||
       msg.contains("UNIQUE constraint failed") ||
       msg.contains("PRIMARY KEY constraint failed")
     }
@@ -75,7 +75,11 @@ object JdbcJobStore {
       val state = Option(ex.getSQLState).getOrElse("")
       val msg = Option(ex.getMessage).getOrElse("")
       state == "X0Y32" || state == "42S01" || state == "42P07" ||
-      msg.contains("already exists")
+      // SQLite (xerial) reports no usable SQLState; only there is the
+      // message match needed — a vendor-stated SQLState must decide on
+      // its own, or an unrelated failure whose message happens to
+      // contain the phrase would be misreported as "already installed".
+      (state.isEmpty && msg.contains("already exists"))
     }
 }
 

@@ -51,15 +51,25 @@ case class CmsEstimate(left: Expression, right: Expression)
 }
 
 object CmsEstimate {
+  // Keyed on payload CONTENT (ByteBuffer equals/hashCode), not byte[]
+  // identity: UnsafeRow.getBinary hands back a fresh copy per row, so an
+  // identity-keyed cache would deserialize the sketch again on every
+  // probed row and grow unboundedly. Bounded LRU since distinct sketches
+  // per query are few (typically one broadcast sketch).
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[Array[Byte], CountMinSketch]())
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, CountMinSketch](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.nio.ByteBuffer, CountMinSketch]): Boolean =
+        size() > 64
+    })
 
   /** Called from both eval and generated code. */
   def estimate(sketchBytes: Array[Byte], item: UTF8String): Long = {
-    var s = cache.get(sketchBytes)
+    val key = java.nio.ByteBuffer.wrap(sketchBytes)
+    var s = cache.get(key)
     if (s == null) {
       s = CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))
-      cache.put(sketchBytes, s)
+      cache.put(key, s)
     }
     s.estimateCount(item.toString)
   }

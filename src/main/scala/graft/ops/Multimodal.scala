@@ -225,7 +225,12 @@ object Multimodal {
           i -> ord(text[i]))) AS BIGINT) AS sample_sum,
         CAST(len(list_filter(range(1, strlen(text) + 1),
           i -> ord(text[i]) > 96)) AS BIGINT) AS n_peaks
-      FROM documents"""))
+      FROM documents
+      -- explicit contract: a zero-length document yields zero windows, so
+      -- the Spark side (flatMap over windows + groupBy) emits NO row for
+      -- it; the oracle filters the same docs out rather than emitting an
+      -- n_windows=0 row the Spark side never produces
+      WHERE strlen(text) > 0"""))
 
   val all: Seq[QueryDef] = Seq(q32Multimodal, q53FrameFeatures, q146AudioFeatures)
 }

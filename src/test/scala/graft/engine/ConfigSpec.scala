@@ -30,7 +30,7 @@ class ConfigSpec extends AnyFunSuite {
 
   test("bare-string JDBC config is accepted as the URL (config.clj:18)") {
     val cfg = GraftConfig.fromMap(Map(
-      "store" -> Map("adapter" -> "h2", "config" -> "jdbc:derby:memory:y;create=true")))
+      "store" -> Map("adapter" -> "jdbc", "config" -> "jdbc:derby:memory:y;create=true")))
     assert(cfg.store.options == Map("url" -> "jdbc:derby:memory:y;create=true"))
   }
 
@@ -40,7 +40,7 @@ class ConfigSpec extends AnyFunSuite {
   }
 
   test("jdbc adapter without a url fails with the reference's assertion message") {
-    val cfg = GraftConfig(StoreConfig("mysql"))
+    val cfg = GraftConfig(StoreConfig("jdbc"))
     val e = intercept[IllegalArgumentException](Graft.store(cfg))
     assert(e.getMessage.contains("Valid JDBC adapter and config are required"))
   }
