@@ -131,9 +131,9 @@ object ScaleGen {
             .otherwise(x))
         })), "embeddings")
 
-    // events.parquet stores TIMESTAMP(NANOS); read raw as long nanos and
-    // write the BIGINT column straight back — EventOps.events handles both
-    // physical types identically (ts div 1000 → µs)
+    // ts round-trips in whatever physical type the source generation uses
+    // (long nanos via nanosAsLong, or plain µs TIMESTAMP) — EventOps.events
+    // dispatches on the scanned type either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     write(replicate(ev, Seq("event_id", "user_id")), "events")

@@ -14,13 +14,25 @@ object EventOps {
 
   private val M = DecimalType(18, 4)
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which vanilla Spark scans
-    * reject; read it as long nanos and convert to a microsecond timestamp
-    * (exactly DuckDB's own ns→µs truncation, so oracles agree). */
+  /** events.parquet's ts column has changed physical type across driver
+    * data generations: TIMESTAMP(NANOS) (which vanilla Spark scans reject —
+    * read as long nanos, truncate to µs exactly like DuckDB does) vs plain
+    * µs TIMESTAMP, surfaced as TIMESTAMP_NTZ when isAdjustedToUTC=false.
+    * Dispatch on the scanned type so either generation yields the same
+    * session-UTC TimestampType column and every downstream unix_micros /
+    * date_trunc / window agrees with the DuckDB oracle's epoch_us(ts). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→LTZ: wall clock reinterpreted in the session zone (UTC, set
+        // by every entry point) — identical µs instant to the oracle's
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** JSON-string column decode (§2E scan/source row 3 — the reference's

@@ -180,8 +180,11 @@ object GraphOps {
     * .q79DupClusters]]) diameters are tiny. Each round is ONE equi-join +
     * hash agg, shuffling (id, label) longs only; every per-round frame is
     * localCheckpoint()ed (same Catalyst-growth reason as [[closureRounds]])
-    * and the only driver value is the converged? count. Returns
-    * (id, label) with label = min node id in the component. */
+    * and the only driver value is the converged? count. The previous label
+    * rides through the round so convergence is a filter-count on the
+    * already-checkpointed frame — one shuffle job per round, not two (the
+    * old separate next⋈prev convergence join doubled the round cost).
+    * Returns (id, label) with label = min node id in the component. */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -190,14 +193,17 @@ object GraphOps {
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val viaNbr = und.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+      val nbrMin = und.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.union(viaNbr)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .groupBy(col("id")).agg(min(col("label")).as("nbr"))
+      // left join: isolated self-labeled nodes keep their label; least()
+      // is null-safe on the missing-neighbor side
+      val next = labels.withColumnRenamed("label", "prev")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("prev"), col("nbr")).as("label"), col("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("id"), col("label"))
     }
     labels
   }

@@ -17,6 +17,24 @@ object EventStream {
 
   private val M = DecimalType(18, 4)
 
+  /** File-source stream over an events parquet path with the same ts-type
+    * dispatch as [[graft.ops.EventOps.events]]: a stream needs its schema
+    * upfront, so batch-infer it from the existing footers, then normalize
+    * ts (long nanos or µs TIMESTAMP_NTZ, depending on the data generation)
+    * to the session-UTC µs TimestampType every operator here expects. */
+  def eventFileStream(s: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema).parquet(path)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
+
   /** Tumbling 1-hour counts/sums per event type; late rows beyond the
     * watermark are dropped (reference's clock-drift tolerance discussion,
     * doc/guide/Heartbeats.md). */

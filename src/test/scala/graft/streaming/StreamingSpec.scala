@@ -111,17 +111,11 @@ class StreamingSpec extends SparkTestBase {
   test("streaming HLL sketch: windowed distinct-user estimate equals batch") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = java.nio.file.Files.createTempDirectory("evhll")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       tmp.resolve("part-0.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStream.eventFileStream(spark, tmp.toString)
     val q = EventStream.hourlyDistinctSketch(stream)
       .writeStream.format("memory").queryName("evhll")
       .outputMode(OutputMode.Complete).start()
@@ -152,7 +146,6 @@ class StreamingSpec extends SparkTestBase {
   test("stream-static join: live anomaly gate equals the batch z-score gate") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.01" // q129's n>=30 gate needs sf0.01 support
     val batchEv = graft.ops.EventOps.events(spark, dir)
     val baseline = graft.ops.SignalOps.hourBaseline(
@@ -162,12 +155,7 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("part-0.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStream.eventFileStream(spark, tmp.toString)
     val q = EventStream.anomalyGate(stream, baseline)
       .writeStream.format("memory").queryName("evgate")
       .outputMode(OutputMode.Append).start()
@@ -210,17 +198,11 @@ class StreamingSpec extends SparkTestBase {
   test("file-source stream over events parquet matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = java.nio.file.Files.createTempDirectory("evstream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       tmp.resolve("part-0.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStream.eventFileStream(spark, tmp.toString)
     val q = EventStream.tumblingHourly(stream)
       .writeStream.format("memory").queryName("evfile").outputMode(OutputMode.Complete).start()
     try {
