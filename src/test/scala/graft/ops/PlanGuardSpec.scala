@@ -54,7 +54,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q215_two_proportion_z",   // two 1-row arm aggregates cross-joined
     "q217_fk_integrity",       // 7 edges × 1-row count aggregates cross-joined
     "q219_freshness_audit",    // 1-row horizon broadcast (the q149 idiom)
-    "q220_simpson_detector")   // 1-row pooled-slope broadcast
+    "q220_simpson_detector",   // 1-row pooled-slope broadcast
+    "q229_ipf_raking")         // 1-row (total, n_langs) broadcast over the lang×source cell matrix
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
