@@ -272,6 +272,80 @@ case class MinhashSig(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
 }
 
+/** MinHash signature with an ORACLE-REPLICABLE hash family: element i of
+  * the result is min over the input hashes h of (h XOR consts(i)). XOR
+  * with a full-width constant is a measure-preserving bijection of the
+  * hash space, so each index selects its own pseudo-random set minimum;
+  * unlike [[MinhashSig]]'s XXH64 re-hash (faster per byte, but private to
+  * Spark), the mix is one integer op BOTH engines implement, so a DuckDB
+  * oracle rebuilds the identical signature from the same base hashes and
+  * constants (q233's construction: base = md5Long(shingle), consts(i) =
+  * md5Long("bandseed|i")). One primitive |hashes| × k loop in codegen —
+  * the HOF spelling (`transform(consts, c -> array_min(transform(...)))`)
+  * runs interpreted with k × |hashes| boxed lambda evaluations per row
+  * (measured ~2 s of the 3.9 s q233 bench before this expression). */
+case class MinhashXorSig(child: Expression, consts: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_xor_sig requires array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = consts.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = h ^ consts(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cs = ctx.addReferenceObj("minhashXorConsts", consts, "long[]")
+      val k = consts.length
+      val mins = ctx.freshName("mins")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  if ($a.isNullAt($j)) continue;
+         |  long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $v = $h ^ $cs[$i];
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinhashXorSig = copy(child = c)
+}
+
 /** SimHash signature over pre-hashed tokens (array<long>) as ONE codegen'd
   * expression: bit b of the result = sign of Σ over tokens of
   * (bit b of hash ? +1 : −1). The equivalent
@@ -384,6 +458,22 @@ object VectorFunctions {
     * hashes (q29 uses md5-derived longs for oracle parity). */
   def simhash_sig(hashedTokens: Column): Column =
     ColumnBridge.column(SimhashSig(ColumnBridge.expression(hashedTokens)))
+
+  /** Column-level API for [[MinhashXorSig]] — input is array<bigint> base
+    * hashes; consts is the per-index xor family (model-sized, embedded in
+    * the generated code). */
+  def minhash_xor_sig(hashes: Column, consts: Array[Long]): Column =
+    ColumnBridge.column(MinhashXorSig(ColumnBridge.expression(hashes), consts))
+
+  /** The same md5→int64 derivation as [[md5Long]], computed driver-side
+    * for model parameters (e.g. q233's xor-family constants): hex chars
+    * 1-8 as the high word, 9-16 as the low — identical to the first 8
+    * digest bytes big-endian. */
+  def md5LongLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d).getLong(0)
+  }
 
   /** md5-derived 64-bit token hash as a column expression, buildable in
     * BOTH engines: (hi32 << 32) | lo32 where hi/lo parse hex chars 1-8 /

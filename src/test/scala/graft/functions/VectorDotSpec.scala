@@ -94,6 +94,34 @@ class VectorDotSpec extends SparkTestBase {
     assert(plan.contains("*("), s"expected codegen in:\n$plan")
   }
 
+  test("minhash_xor_sig matches a driver-side xor fold, the HOF spelling, and md5LongLocal matches md5Long") {
+    import spark.implicits._
+    val consts = (0 until 8).map(j => VectorFunctions.md5LongLocal(s"t|$j")).toArray
+    val inputs = Seq(
+      (1L, Seq(7L, 42L, 99L, 7L)),
+      (2L, Seq.empty[Long]),
+      (3L, Seq(Long.MaxValue, Long.MinValue, 0L, -1L)))
+    def expected(hs: Seq[Long]): Seq[Long] =
+      consts.toSeq.map(c => hs.foldLeft(Long.MaxValue)((m, h) => math.min(m, h ^ c)))
+    val df = inputs.toDF("id", "hs").repartition(1)
+    val rows = df.select(col("id"),
+        VectorFunctions.minhash_xor_sig(col("hs"), consts).as("native"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    inputs.foreach { case (id, hs) => assert(rows(id) == expected(hs), s"id=$id") }
+    // the interpreted HOF spelling computes the identical signature
+    val constCol = org.apache.spark.sql.functions.array(consts.map(lit(_)): _*)
+    val hof = df.select(col("id"), org.apache.spark.sql.functions.transform(constCol,
+        c => org.apache.spark.sql.functions.array_min(
+          org.apache.spark.sql.functions.transform(col("hs"), h => h.bitwiseXOR(c)))).as("hof"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    inputs.filter(_._2.nonEmpty).foreach { case (id, _) => assert(rows(id) == hof(id)) }
+    // md5LongLocal is the same derivation as the md5Long column expression
+    val viaCol = Seq("a", "bandseed|0", "spark graft").toDF("s")
+      .select(VectorFunctions.md5Long(col("s"))).collect().map(_.getLong(0))
+    val viaLocal = Seq("a", "bandseed|0", "spark graft").map(VectorFunctions.md5LongLocal)
+    assert(viaCol.toSeq == viaLocal)
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

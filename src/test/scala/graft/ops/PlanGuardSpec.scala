@@ -22,6 +22,10 @@ import graft.SparkTestBase
   */
 class PlanGuardSpec extends SparkTestBase {
 
+  // q230_mmr_rerank pairs its 20-row candidate frame with itself (model-
+  // sized by contract) but needs no exemption: the greedy loop's
+  // localCheckpoints truncate the final plan, so the scan below sees no
+  // join shape at all.
   private val quadraticYardsticks = Set(
     "q55_embedding_dedup",
     "q30_cosine_knn")
@@ -55,7 +59,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q217_fk_integrity",       // 7 edges × 1-row count aggregates cross-joined
     "q219_freshness_audit",    // 1-row horizon broadcast (the q149 idiom)
     "q220_simpson_detector",   // 1-row pooled-slope broadcast
-    "q229_ipf_raking")         // 1-row (total, n_langs) broadcast over the lang×source cell matrix
+    "q229_ipf_raking",         // 1-row (total, n_langs) broadcast over the lang×source cell matrix
+    "q232_dsir_weights",       // 1-row (nc, v, nt) LM-totals broadcast
+    "q233_band_tuning")        // 1-row candidate/hit count aggregates per geometry
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
