@@ -39,4 +39,23 @@ object Sources {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed + sorted layout sink: the 100 TB co-location primitive.
+    * Writing both sides of a recurring join bucketed (same column, same
+    * count) lets every subsequent join or aggregation on that key run
+    * WITHOUT a shuffle — the scan's output partitioning already satisfies
+    * the join's distribution requirement, so Exchange disappears from the
+    * plan (asserted in SourcesSpec). Bucketing requires the table catalog
+    * (`saveAsTable`); plain `.parquet(path)` cannot carry bucket metadata. */
+  def bucketedWrite(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read a bucketed table back with its bucket spec intact. */
+  def bucketedRead(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

@@ -61,7 +61,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q220_simpson_detector",   // 1-row pooled-slope broadcast
     "q229_ipf_raking",         // 1-row (total, n_langs) broadcast over the lang×source cell matrix
     "q232_dsir_weights",       // 1-row (nc, v, nt) LM-totals broadcast
-    "q233_band_tuning")        // 1-row candidate/hit count aggregates per geometry
+    "q233_band_tuning",        // 1-row candidate/hit count aggregates per geometry
+    "q235_ks_drift",           // |sources|-row indicator fan-out (model-sized at any scale)
+    "q237_water_filling")      // 1-row water-level broadcast against the source frame
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

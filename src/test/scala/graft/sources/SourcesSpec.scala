@@ -80,14 +80,10 @@ class SourcesSpec extends SparkTestBase {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     try {
-      t.lineitem.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("bkt_lineitem")
-      t.orders.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("bkt_orders")
-      val joined = spark.table("bkt_lineitem")
-        .join(spark.table("bkt_orders"),
+      Sources.bucketedWrite(t.lineitem, "bkt_lineitem", "l_orderkey", 8)
+      Sources.bucketedWrite(t.orders, "bkt_orders", "o_orderkey", 8)
+      val joined = Sources.bucketedRead(spark, "bkt_lineitem")
+        .join(Sources.bucketedRead(spark, "bkt_orders"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(org.apache.spark.sql.functions.count(
