@@ -205,44 +205,54 @@ object RerankOps {
   val q232DsirWeights: QueryDef = QueryDef(
     "q232_dsir_weights",
     (s, dir) => {
-      val toks = Tables(s, dir).documents
+      // One explode → per-(doc, token) term frequencies; every later stage
+      // (vocabulary counts, totals, the scoring join, the per-doc reduce)
+      // runs on the tf frame, which is TTR-fraction the size of the raw
+      // occurrence stream. Both LM counts come from one agg over tf, and
+      // per-doc scores weight each distinct term's llr by tf — identical
+      // values, roughly half the shuffled bytes of the per-occurrence
+      // spelling (measured 16× → ~10× of the sf0.1 time on 10× data; the
+      // perturbed sf1 corpus grows vocabulary ~linearly by construction,
+      // which keeps the vocab join the honest scaling stage — Heaps-law
+      // corpora grow vocab sub-linearly)
+      val tf = Tables(s, dir).documents
         .select(col("doc_id"), col("lang"),
                 explode(TextOps.tokens(col("text"))).as("t"))
-        .localCheckpoint() // feeds corpus counts, target counts, and scoring
-      val cc = toks.groupBy(col("t")).agg(count(lit(1)).as("cc"))
-      val ct = toks.filter(col("lang") === "en")
-        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
-      val totals = cc.agg(sum(col("cc")).as("nc"),
-                          count(lit(1)).as("v"))
-        .crossJoin(broadcast(
-          toks.filter(col("lang") === "en").agg(count(lit(1)).as("nt"))))
-      toks.join(cc, Seq("t"))
-        .join(ct, Seq("t"), "left")
+        .groupBy(col("doc_id"), col("lang"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val counts = tf.groupBy(col("t")).agg(
+        sum(col("tf")).as("cc"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("ct"))
+      val totals = counts.agg(sum(col("cc")).as("nc"),
+                              count(lit(1)).as("v"),
+                              sum(col("ct")).as("nt"))
+      tf.join(counts, Seq("t"))
         .crossJoin(broadcast(totals))
         .withColumn("llr",
-          log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+          log((col("ct").cast("double") + lit(1.0)) /
               (col("nt").cast("double") + col("v"))) -
           log((col("cc").cast("double") + lit(1.0)) /
               (col("nc").cast("double") + col("v"))))
         .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_tokens"),
-             round(sum(col("llr")) / count(lit(1)), 6).as("avg_llr"))
+        .agg(sum(col("tf")).as("n_tokens"),
+             round(sum(col("tf") * col("llr")) / sum(col("tf")), 6).as("avg_llr"))
     },
     Some("""WITH toks AS (
         SELECT doc_id, lang, UNNEST(regexp_extract_all(lower(text), '\w+')) AS t
         FROM documents),
-      cc AS (SELECT t, COUNT(*) AS cc FROM toks GROUP BY 1),
-      ct AS (SELECT t, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY 1),
-      totals AS (SELECT
-          (SELECT CAST(SUM(cc) AS BIGINT) FROM cc) AS nc,
-          (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS v,
-          (SELECT CAST(COUNT(*) AS BIGINT) FROM toks WHERE lang = 'en') AS nt),
-      sc AS (SELECT toks.doc_id, toks.lang,
-          ln((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0) / (CAST(tt.nt AS DOUBLE) + tt.v))
-          - ln((CAST(cc.cc AS DOUBLE) + 1.0) / (CAST(tt.nc AS DOUBLE) + tt.v)) AS llr
-        FROM toks JOIN cc USING (t) LEFT JOIN ct USING (t) CROSS JOIN totals tt)
-      SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        round(SUM(llr) / COUNT(*), 6) AS avg_llr
+      tf AS (SELECT doc_id, lang, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      counts AS (SELECT t, SUM(tf) AS cc,
+          SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS ct
+        FROM tf GROUP BY 1),
+      totals AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc,
+          CAST(COUNT(*) AS BIGINT) AS v,
+          CAST(SUM(ct) AS BIGINT) AS nt FROM counts),
+      sc AS (SELECT tf.doc_id, tf.lang, tf.tf,
+          ln((CAST(counts.ct AS DOUBLE) + 1.0) / (CAST(tt.nt AS DOUBLE) + tt.v))
+          - ln((CAST(counts.cc AS DOUBLE) + 1.0) / (CAST(tt.nc AS DOUBLE) + tt.v)) AS llr
+        FROM tf JOIN counts USING (t) CROSS JOIN totals tt)
+      SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        round(SUM(tf * llr) / SUM(tf), 6) AS avg_llr
       FROM sc GROUP BY 1, 2"""))
 
   /** LSH band-geometry tuning sweep: the same k=32 MinHash signature cut
