@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Robustness & structure wave: DRO-style worst-group reweighting from LM
+  * loss, label-propagation communities on the co-purchase graph, diagonal
+  * embedding whitening, and a sharded top-k with an exactness
+  * certificate. Each reduces to scans, equi-joins, and model-sized
+  * frames; the iterative pieces are exactly unrolled in the oracles.
+  */
+object RobustOps {
+
+  /** DRO-style group reweighting (the Group DRO training-mix move): each
+    * language group's mean bigram cross-entropy (q94's per-doc scores)
+    * becomes a softmax weight — hardest group up-weighted, η = 1,
+    * max-subtracted for stability (exp arguments ≤ 0 on both engines).
+    * Group means are rounded to 9 dp before the softmax (the q62 defense:
+    * group-sum order differs between engines), the published weights to
+    * 6 dp. The corpus-scale work is q94's scoring pass; the softmax runs
+    * on a languages-sized frame. */
+  val q238GroupDroWeights: QueryDef = QueryDef(
+    "q238_group_dro_weights",
+    (s, dir) => {
+      val perDoc = ScoringOps.q94BigramPerplexity.fn(s, dir)
+        .join(Tables(s, dir).documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val wAll = Window.partitionBy()
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             round(sum(col("avg_nll")) / count(lit(1)), 9).as("mean_nll"))
+        .withColumn("dev", col("mean_nll") - max(col("mean_nll")).over(wAll))
+        .withColumn("w_raw", exp(col("dev")))
+        .withColumn("weight",
+          round(col("w_raw") / round(sum(col("w_raw")).over(wAll), 9), 6))
+        .select(col("lang"), col("n_docs"),
+                round(col("mean_nll"), 6).as("mean_nll"), col("weight"))
+    },
+    Some("""WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+          FROM documents),
+      b2 AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id, t.u.w1 AS w1, t.u.w2 AS w2 FROM b2,
+          UNNEST(list_transform(range(0, len(toks)-1),
+            i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS t(u)),
+      vstats AS (SELECT CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS v
+        FROM b2, UNNEST(toks) AS t(tok)),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      sc AS (SELECT bg.doc_id,
+          -ln((CAST(c12.c12 AS DOUBLE) + 1.0) / (CAST(c1.c1 AS DOUBLE) + v.v)) AS nll
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vstats v),
+      perdoc AS (SELECT doc_id, SUM(nll) / COUNT(*) AS avg_nll FROM sc GROUP BY 1),
+      bylang AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          round(SUM(p.avg_nll) / COUNT(*), 9) AS mean_nll
+        FROM perdoc p JOIN documents d USING (doc_id) GROUP BY 1),
+      soft AS (SELECT lang, n_docs, mean_nll,
+          exp(mean_nll - MAX(mean_nll) OVER ()) AS w_raw
+        FROM bylang)
+      SELECT lang, n_docs, round(mean_nll, 6) AS mean_nll,
+        round(w_raw / round(SUM(w_raw) OVER (), 9), 6) AS weight
+      FROM soft"""))
+
+  /** Community detection by label propagation on the support-2
+    * co-purchase graph: every part starts labeled with its own brand, and
+    * for 3 exactly-unrolled rounds each node adopts the most common label
+    * among its neighbors (ties → lexicographically smallest label). Each
+    * round is one equi-join + a (node, label) count agg + an argmax
+    * window — (node, label-string) pairs are the only shuffled payload,
+    * no driver-side graph state, O(|E|) per round at any scale. Output:
+    * every node with its seed brand, final label, and whether propagation
+    * moved it — plus the spec checks label mass is conserved. */
+  val q239LabelPropagation: QueryDef = QueryDef(
+    "q239_label_propagation",
+    (s, dir) => {
+      val rounds = 3
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("pa"), col("pb"))
+        .localCheckpoint()
+      val und = edges.select(col("pa").as("n"), col("pb").as("m"))
+        .union(edges.select(col("pb").as("n"), col("pa").as("m")))
+      val seed = und.select(col("n")).distinct()
+        .join(Tables(s, dir).part.select(col("p_partkey").as("n"), col("p_brand")), Seq("n"))
+        .select(col("n"), col("p_brand").as("label"))
+        .localCheckpoint()
+      var labels = seed
+      for (_ <- 1 to rounds) {
+        val votes = und
+          .join(labels.withColumnRenamed("n", "m"), Seq("m"))
+          .groupBy(col("n"), col("label")).agg(count(lit(1)).as("votes"))
+        val wPick = Window.partitionBy(col("n"))
+          .orderBy(col("votes").desc, col("label").asc)
+        labels = votes.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("n"), col("label"))
+          .localCheckpoint()
+      }
+      seed.withColumnRenamed("label", "seed_brand")
+        .join(labels.withColumnRenamed("label", "community"), Seq("n"))
+        .select(col("n").as("part"), col("seed_brand"), col("community"),
+                (col("seed_brand") =!= col("community")).as("moved"))
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      und AS (SELECT pa AS n, pb AS m FROM e UNION ALL SELECT pb, pa FROM e),
+      seed AS (SELECT DISTINCT und.n, p.p_brand AS label
+        FROM und JOIN part p ON p.p_partkey = und.n),
+      l1 AS (SELECT n, label FROM (
+          SELECT u.n, s.label, COUNT(*) AS votes,
+            ROW_NUMBER() OVER (PARTITION BY u.n ORDER BY COUNT(*) DESC, s.label) AS rn
+          FROM und u JOIN seed s ON s.n = u.m GROUP BY u.n, s.label)
+        WHERE rn = 1),
+      l2 AS (SELECT n, label FROM (
+          SELECT u.n, s.label, COUNT(*) AS votes,
+            ROW_NUMBER() OVER (PARTITION BY u.n ORDER BY COUNT(*) DESC, s.label) AS rn
+          FROM und u JOIN l1 s ON s.n = u.m GROUP BY u.n, s.label)
+        WHERE rn = 1),
+      l3 AS (SELECT n, label FROM (
+          SELECT u.n, s.label, COUNT(*) AS votes,
+            ROW_NUMBER() OVER (PARTITION BY u.n ORDER BY COUNT(*) DESC, s.label) AS rn
+          FROM und u JOIN l2 s ON s.n = u.m GROUP BY u.n, s.label)
+        WHERE rn = 1)
+      SELECT seed.n AS part, seed.label AS seed_brand, l3.label AS community,
+        seed.label <> l3.label AS moved
+      FROM seed JOIN l3 ON l3.n = seed.n"""))
+
+  /** Diagonal (per-dimension) embedding whitening: subtract the dimension
+    * mean, divide by the dimension standard deviation, and certify the
+    * result per vector — post-whitening norm, the largest |z|, and how
+    * many coordinates a |z| > 4 clip would touch. Per-dim moments come
+    * from exact power sums rounded at 9 dp before use (the q62 defense);
+    * the dim-stats frame is dim-sized and broadcasts, so the whitening
+    * itself is one linear pass that never shuffles vectors. The diagonal
+    * step of ZCA/PCA preprocessing, certified before a training run. */
+  val q240DiagWhitening: QueryDef = QueryDef(
+    "q240_diag_whitening",
+    (s, dir) => {
+      val flat = Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      val stats = flat.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+             sum(col("v") * col("v")).as("s2"))
+        .select(col("dim"),
+          round(col("s1") / col("n"), 9).as("mu"),
+          round(sqrt(col("s2") / col("n") -
+            (col("s1") / col("n")) * (col("s1") / col("n"))), 9).as("sd"))
+      flat.join(broadcast(stats), Seq("dim"))
+        .withColumn("z", (col("v") - col("mu")) / col("sd"))
+        .groupBy(col("vec_id"))
+        .agg(round(sqrt(sum(col("z") * col("z"))), 6).as("white_norm"),
+             round(max(abs(col("z"))), 6).as("max_abs_z"),
+             sum(when(abs(col("z")) > 4.0, 1L).otherwise(0L)).as("n_clipped"))
+    },
+    Some("""WITH flat AS (SELECT vec_id, t.gs AS dim,
+          CAST(embedding[t.gs] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(gs)),
+      stats AS (SELECT dim,
+          round(SUM(v) / COUNT(*), 9) AS mu,
+          round(sqrt(SUM(v * v) / COUNT(*)
+            - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*))), 9) AS sd
+        FROM flat GROUP BY 1),
+      z AS (SELECT f.vec_id, (f.v - s.mu) / s.sd AS z
+        FROM flat f JOIN stats s USING (dim))
+      SELECT vec_id, round(sqrt(SUM(z * z)), 6) AS white_norm,
+        round(MAX(abs(z)), 6) AS max_abs_z,
+        CAST(SUM(CASE WHEN abs(z) > 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      FROM z GROUP BY 1"""))
+
+  /** Sharded top-k heavy hitters with an exactness certificate: documents
+    * hash into 8 deterministic shards (md5 mod — q209's construction),
+    * each shard nominates its local top-30 tokens, the nominee union is
+    * exactly recounted, and the global top-10 by TRUE count is reported
+    * with a per-token flag showing whether sharding found it. At 100 TB
+    * the nominate-then-recount path aggregates each shard independently
+    * (map-side) and only recounts a model-sized candidate set; the
+    * certificate column is the audit that the shard-local m was sized
+    * right (a global heavy hitter is heavy in every random shard). The
+    * oracle recomputes the true top-10 independently, so a certificate
+    * regression is a correctness failure, not a silent quality drop. */
+  val q241ShardedTopk: QueryDef = QueryDef(
+    "q241_sharded_topk",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.md5Long
+      val m = 30
+      val k = 10
+      val toks = Tables(s, dir).documents
+        .withColumn("shard", pmod(md5Long(concat_ws("|", col("doc_id"))), lit(8L)))
+        .select(col("shard"), explode(TextOps.tokens(col("text"))).as("t"))
+      val shardCounts = toks.groupBy(col("shard"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds nominees AND the exact recount
+      val wShard = Window.partitionBy(col("shard"))
+        .orderBy(col("c").desc, col("t").asc)
+      val nominees = shardCounts
+        .withColumn("rn", row_number().over(wShard))
+        .filter(col("rn") <= m)
+        .select(col("t")).distinct()
+      val exact = shardCounts.groupBy(col("t")).agg(sum(col("c")).as("n"))
+      val wTop = Window.partitionBy().orderBy(col("n").desc, col("t").asc)
+      exact
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter(col("rank") <= k)
+        .join(nominees.withColumn("nominated", lit(true)), Seq("t"), "left")
+        .select(col("rank"), col("t").as("token"), col("n"),
+                coalesce(col("nominated"), lit(false)).as("certified"))
+    },
+    Some("""WITH sh AS (SELECT doc_id,
+          ((h_hi - CASE WHEN h_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+            * 4294967296 + h_lo) % 8 AS shard0, text
+        FROM (SELECT doc_id, text,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h_hi,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS h_lo
+          FROM documents)),
+      toks AS (SELECT CASE WHEN shard0 < 0 THEN shard0 + 8 ELSE shard0 END AS shard,
+          UNNEST(regexp_extract_all(lower(text), '\w+')) AS t
+        FROM sh),
+      sc AS (SELECT shard, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      nominees AS (SELECT DISTINCT t FROM (
+          SELECT shard, t, ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY c DESC, t) AS rn FROM sc) WHERE rn <= 30),
+      exact AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+      top AS (SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rank
+        FROM exact)
+      SELECT CAST(rank AS BIGINT) AS rank, top.t AS token, top.n,
+        nominees.t IS NOT NULL AS certified
+      FROM top LEFT JOIN nominees ON nominees.t = top.t
+      WHERE rank <= 10"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q238GroupDroWeights, q239LabelPropagation, q240DiagWhitening,
+        q241ShardedTopk)
+}

@@ -63,7 +63,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q232_dsir_weights",       // 1-row (nc, v, nt) LM-totals broadcast
     "q233_band_tuning",        // 1-row candidate/hit count aggregates per geometry
     "q235_ks_drift",           // |sources|-row indicator fan-out (model-sized at any scale)
-    "q237_water_filling")      // 1-row water-level broadcast against the source frame
+    "q237_water_filling",      // 1-row water-level broadcast against the source frame
+    "q238_group_dro_weights")  // inherits q94's 1-row vocabulary-size broadcast
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
