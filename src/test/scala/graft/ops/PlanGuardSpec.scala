@@ -22,6 +22,76 @@ import graft.SparkTestBase
   */
 class PlanGuardSpec extends SparkTestBase {
 
+  /** Declared build-side row bound per allowlist entry — the size claim
+    * each exemption comment makes, asserted from the executed plan's
+    * metrics instead of trusted. A 1-row scalar broadcast must broadcast
+    * exactly ≤ its declared rows; an entry whose build side outgrows its
+    * bound fails here before any bench run notices. Bounds are at the
+    * test SF (sf0.001) but the *shape* claim (1-row aggregate, constant
+    * pool, |types|-sized frame) is scale-free except where noted. */
+  private val buildSideBounds: Map[String, Long] = Map(
+    "q34_dead_heartbeats"      -> 1,
+    "q56_tfidf"                -> 1,
+    "q91_bm25"                 -> 1,
+    "q93_power_iteration_pca"  -> 1,
+    "q94_bigram_perplexity"    -> 1,
+    "q99_embedding_outliers"   -> 1,
+    "q104_rrf_fusion"          -> 1,
+    "q114_chi2_keyness"        -> 1,
+    "q122_association_rules"   -> 1,
+    "q127_hll_users"           -> 1,
+    "q128_cms_frequency"       -> 1,
+    "q133_source_divergence"   -> 1,
+    "q149_decayed_popularity"  -> 1,
+    "q152_equidepth_histogram" -> 1,
+    "q153_hll_overlap"         -> 32,  // |event types| sketch rows
+    "q159_rfm_segments"        -> 1,
+    "q161_kaplan_meier"        -> 1,
+    "q164_welch_ttest"         -> 1,
+    "q172_negative_sampling"   -> 50,  // top-50 candidate pool, by contract
+    "q181_token_pmi"           -> 1,
+    "q184_cumulative_gains"    -> 1,
+    "q202_lorenz_deciles"      -> 1,
+    "q203_word_burstiness"     -> 1,
+    "q213_ttl_projection"      -> 1,
+    "q215_two_proportion_z"    -> 1,
+    "q217_fk_integrity"        -> 1,
+    "q219_freshness_audit"     -> 1,
+    "q220_simpson_detector"    -> 1,
+    "q229_ipf_raking"          -> 1,
+    "q232_dsir_weights"        -> 1,
+    "q233_band_tuning"         -> 1,
+    "q235_ks_drift"            -> 32,  // |sources| indicator fan-out rows
+    "q237_water_filling"       -> 1,
+    "q238_group_dro_weights"   -> 1,
+    "q243_conformal_interval"  -> 1,
+    "q245_kneser_ney"          -> 1,
+    "q246_hits"                -> 1,
+    "q248_sinkhorn"            -> 32,  // |sources| grid side, model-sized
+    "q249_sensitivity_coreset" -> 8,   // fixed seed pool
+    // quadratic yardsticks: the broadcast side is bounded by contract —
+    // q30 by the fixed query set, q55 by "the whole corpus fits a
+    // broadcast or the yardstick is not viable" (sf0.001 here).
+    "q30_cosine_knn"           -> 8,
+    "q55_embedding_dedup"      -> 4000)
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+  import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: QueryStageExec        => flatten(q.plan)
+    case r: ReusedExchangeExec    => flatten(r.child)
+    case other                    => other.children.flatMap(flatten)
+  })
+
+  private def rowsOut(p: SparkPlan): Long =
+    flatten(p).flatMap(_.metrics.get("numOutputRows").map(_.value))
+      .headOption.getOrElse(-1L)
+
   // q230_mmr_rerank pairs its 20-row candidate frame with itself (model-
   // sized by contract) but needs no exemption: the greedy loop's
   // localCheckpoints truncate the final plan, so the scan below sees no
@@ -64,7 +134,12 @@ class PlanGuardSpec extends SparkTestBase {
     "q233_band_tuning",        // 1-row candidate/hit count aggregates per geometry
     "q235_ks_drift",           // |sources|-row indicator fan-out (model-sized at any scale)
     "q237_water_filling",      // 1-row water-level broadcast against the source frame
-    "q238_group_dro_weights")  // inherits q94's 1-row vocabulary-size broadcast
+    "q238_group_dro_weights",  // inherits q94's 1-row vocabulary-size broadcast
+    "q243_conformal_interval", // 1-row n_cal + 1-row q-hat broadcasts
+    "q245_kneser_ney",         // 1-row bigram-type total broadcast (the q94 idiom)
+    "q246_hits",               // 4 × 1-row L2-norm broadcasts (the q93 idiom)
+    "q248_sinkhorn",           // langs × sources grid completion (model-sized both sides)
+    "q249_sensitivity_coreset") // 8-seed pool + 1-row totals broadcast
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
@@ -86,6 +161,35 @@ class PlanGuardSpec extends SparkTestBase {
       val plan = planOf(name)
       assert(plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
         s"$name no longer plans a nested-loop join — remove it from the allowlist")
+    }
+  }
+
+  test("every allowlisted nested-loop build side is within its declared bound") {
+    val missing = (quadraticYardsticks ++ scalarBroadcasts) -- buildSideBounds.keySet
+    assert(missing.isEmpty, s"allowlist entries without a declared bound: $missing")
+
+    buildSideBounds.toSeq.sortBy(_._1).foreach { case (name, bound) =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // populate metrics on the final adaptive plan
+      val joins = flatten(df.queryExecution.executedPlan).collect {
+        case b: BroadcastNestedLoopJoinExec =>
+          val side = b.buildSide match {
+            case BuildLeft  => b.left
+            case BuildRight => b.right
+          }
+          ("bnlj", rowsOut(side))
+        case c: CartesianProductExec =>
+          ("cartesian", math.min(rowsOut(c.left), rowsOut(c.right)))
+      }
+      // iterative queries truncate intermediate rounds behind
+      // localCheckpoints — the shape may live only in an intermediate
+      // plan (the shape test above covers presence; here we bound every
+      // instance that IS in the final plan).
+      joins.foreach { case (kind, rows) =>
+        assert(rows >= 0, s"$name: $kind build side exposed no numOutputRows metric")
+        assert(rows <= bound,
+          s"$name: $kind build side materialized $rows rows — over its declared bound $bound")
+      }
     }
   }
 }

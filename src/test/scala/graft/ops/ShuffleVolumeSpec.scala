@@ -60,4 +60,79 @@ class ShuffleVolumeSpec extends SparkTestBase {
         s"bloom prune did not halve the shuffled rows: $withBloom vs $without")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  private def maxShuffleReadPerTask(body: => Unit): Long = {
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          maxRead.accumulateAndGet(m.shuffleReadMetrics.recordsRead, Math.max(_, _))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { body; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(listener)
+    maxRead.get()
+  }
+
+  /** The skew story, measured instead of argued (round-7 verdict #8), in
+    * two halves on a fixture where one key holds ~86% of the rows:
+    *
+    * 1. q105's algebraic shape (sum/count by key) does NOT need salting
+    *    for shuffle volume: map-side partial aggregation sends one row
+    *    per (key, map-partition), so the hot key's reducer reads ~as
+    *    many records as there are map partitions — measured below. The
+    *    salt in q105 guards partial-buffer memory in high-cardinality-
+    *    key regimes, not this shuffle.
+    *
+    * 2. Where skew genuinely bites is the HOLISTIC shape: a global-key
+    *    window (share-of-key-total) must co-locate every row of the hot
+    *    key on one task, and AQE does not rescue it (skew-split applies
+    *    to joins). The scalable rewrite is pre-aggregate + broadcast
+    *    join back — identical output, max per-task read bounded by the
+    *    partition layout instead of the key distribution. */
+  test("skewed hot key: algebraic agg shuffles flat; window rewrite beats the skewed window") {
+    import org.apache.spark.sql.functions._
+    val skewed = spark.range(400000L).select(lit(0L).as("k"), col("id").as("v"))
+      .union(spark.range(64000L)
+        .select((col("id") % 64 + 1).as("k"), (col("id") + 1000000L).as("v")))
+      .repartition(32)  // fix the map-side layout deterministically
+      .localCheckpoint() // …and keep that shuffle out of the measurements
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      // 1. algebraic aggregate: partial combine flattens the shuffle
+      val maxAgg = maxShuffleReadPerTask {
+        skewed.groupBy(col("k")).agg(sum(col("v")).as("s")).collect()
+      }
+      assert(maxAgg < 4096,
+        s"map-side combine failed: hot-key reducer read $maxAgg records")
+
+      // 2. holistic window vs the pre-agg + join rewrite
+      val windowed = skewed.withColumn("share",
+        col("v").cast("double") /
+          sum(col("v")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+      val keyTotals = skewed.groupBy(col("k")).agg(sum(col("v")).as("kt"))
+      val rewritten = skewed.join(broadcast(keyTotals), Seq("k"))
+        .withColumn("share", col("v").cast("double") / col("kt"))
+        .drop("kt")
+
+      // the measured action must CONSUME share, or pruning deletes the
+      // window; summing it also proves the two paths agree
+      var shareW = 0.0
+      var shareJ = 0.0
+      val maxWindow = maxShuffleReadPerTask {
+        shareW = windowed.agg(sum(col("share"))).head.getDouble(0)
+      }
+      val maxJoin = maxShuffleReadPerTask {
+        shareJ = rewritten.agg(sum(col("share"))).head.getDouble(0)
+      }
+      assert(math.abs(shareW - shareJ) < 1e-6, s"rewrite diverged: $shareW vs $shareJ")
+      assert(maxWindow > 300000,
+        s"fixture lost its skew — hot-key window task read only $maxWindow records")
+      assert(maxJoin * 8 < maxWindow,
+        s"pre-agg rewrite did not spread the hot key: $maxJoin vs $maxWindow")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
 }
