@@ -140,6 +140,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q246_hits",               // 4 × 1-row L2-norm broadcasts (the q93 idiom)
     "q248_sinkhorn",           // langs × sources grid completion (model-sized both sides)
     "q249_sensitivity_coreset") // 8-seed pool + 1-row totals broadcast
+  // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
+  // needs no exemption: its eager localCheckpoint truncates the final plan
+  // before the overlap join, so the scan sees no join shape (q230's case).
 
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
