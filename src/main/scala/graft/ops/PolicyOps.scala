@@ -237,14 +237,18 @@ object PolicyOps {
       val rev = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_rev"))
       val types = c12.agg(count(lit(1)).as("n_types"))
       val d = lit(0.75)
-      bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      // score each distinct bigram TYPE once (all four count frames are
+      // vocab-bounded), then one corpus-sized join back to occurrences —
+      // the q94 type-level rework (32 → single-digit s at sf1)
+      val typeNll = c12.join(c1, Seq("w1"))
         .join(fwd, Seq("w1")).join(rev, Seq("w2"))
         .crossJoin(broadcast(types))
         .withColumn("p",
           (col("c12").cast("double") - d) / col("c1") +
             (d / col("c1")) * col("n1p_fwd") *
             (col("n1p_rev").cast("double") / col("n_types")))
-        .withColumn("nll", -log(col("p")))
+        .select(col("w1"), col("w2"), (-log(col("p"))).as("nll"))
+      bg.join(typeNll, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("nll")) / count(lit(1)), 6).as("avg_nll"),
