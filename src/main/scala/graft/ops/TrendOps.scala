@@ -17,12 +17,17 @@ object TrendOps {
   private val M = DecimalType(22, 8)
 
   /** Per-(nation, day) revenue through exact DECIMAL sums — the shared
-    * spine of q254/q255. `rev` is rounded at 9 dp so both engines sign
-    * and sort the identical doubles. */
+    * spine of q254/q255, bounded to the 1995 calendar year so the
+    * pairwise stage pairs ≤ 365 days per nation regardless of data
+    * scale (the full date range saturates ~2400 days at ANY SF, which
+    * put 2M pairs × a sort behind every nation — measured 155 s at
+    * sf0.1; one year is 66k pairs). `rev` is rounded at 9 dp so both
+    * engines sign and sort the identical doubles. */
   private def dailyRevenue(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.orders.filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01")), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
@@ -40,6 +45,8 @@ object TrendOps {
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           JOIN customer c ON o.o_custkey = c.c_custkey
           JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
         GROUP BY 1, 2)"""
 
   /** Theil-Sen robust trend: the median of all pairwise day-slopes of

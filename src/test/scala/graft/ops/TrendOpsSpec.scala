@@ -16,7 +16,8 @@ class TrendOpsSpec extends SparkTestBase {
     assert(out.nonEmpty)
     val t = Tables(spark, sfDir)
     val daily = t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.orders.filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01")), col("l_orderkey") === col("o_orderkey"))
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(t.nation, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
