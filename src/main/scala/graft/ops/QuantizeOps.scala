@@ -23,47 +23,59 @@ object QuantizeOps {
 
   private val decD = DecimalType(28, 14)
 
-  /** Dim-level view of the embedding corpus: (vec_id, s = subspace 0..7,
-    * d = dim-in-subspace 0..7, v). */
-  private def flatSub(s: SparkSession, dir: String): DataFrame =
+  /** Subvector view of the embedding corpus: (vec_id, s = subspace 0..7,
+    * sv = the 8-dim slice as array<double>). */
+  private def subVecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"),
-        floor(col("pos") / 8).cast("long").as("s"),
-        pmod(col("pos"), lit(8)).cast("long").as("d"),
-        col("col").cast("double").as("v"))
+      .select(col("vec_id"), explode(expr(
+        """transform(sequence(0, 7),
+             k -> struct(cast(k as bigint) AS s,
+                         transform(slice(embedding, k * 8 + 1, 8),
+                                   x -> cast(x as double)) AS sv))""")).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+
+  /** Squared L2 between two array<double> columns as an order-exact
+    * DECIMAL: each term rounded at 12 dp, folded in array order — the
+    * same value the oracle's dim-level DECIMAL SUM produces, because
+    * DECIMAL addition is order-free. */
+  private def sqDist(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) ->
+          cast(round((x - y) * (x - y), 12) as decimal(28,14))),
+        cast(0 as decimal(28,14)),
+        (acc, t) -> cast(acc + t as decimal(28,14)))""")
 
   /** One Lloyd step of per-subspace k-means from the fixed seed vectors
     * (vec_id < 16 — each seed's subvector j seeds centroid j of every
     * subspace), then the final assignment against the updated centroids.
-    * Returns (codes, centroids): codes = (vec_id, s, code, err);
-    * centroids = (s, j, d, c). */
+    * Distances are codegen'd zip_with folds over 8-dim subvectors; the
+    * argmin is min(struct(dist, j)) — a hash aggregation, NOT a window
+    * sort (the window form measured 79 s at sf1; this shape is one
+    * fan-out projection + one partial-agg shuffle per phase). Returns
+    * (codes, centroids): codes = (vec_id, s, code, err);
+    * centroids = (s, j, d, c) dim-level for the ADC LUT. */
   private def pq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val flat = flatSub(spark, dir).localCheckpoint() // feeds E1, M, E2
-    val seeds = flat.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("j"), col("s"), col("d"), col("v").as("c0"))
-    val wPick = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dist").asc, col("j").asc)
-    val a1 = flat.join(broadcast(seeds), Seq("s", "d"))
-      .groupBy(col("vec_id"), col("s"), col("j"))
-      .agg(sum(round((col("v") - col("c0")) * (col("v") - col("c0")), 12)
-        .cast(decD)).as("dist"))
-      .withColumn("rn", row_number().over(wPick))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("j"))
-    val c1 = a1.join(flat, Seq("vec_id", "s"))
-      .groupBy(col("s"), col("j"), col("d"))
-      .agg(round(sum(round(col("v"), 9).cast(decD)).cast("double") /
+    val sub = subVecs(spark, dir).localCheckpoint() // feeds E1, M, E2
+    val seeds = sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("j"), col("s"), col("sv").as("cv"))
+    val a1 = sub.join(broadcast(seeds), Seq("s"))
+      .withColumn("dist", sqDist("sv", "cv"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("j"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.j").as("j"))
+    val c1 = a1.join(sub, Seq("vec_id", "s"))
+      .select(col("s"), col("j"), posexplode(col("sv")))
+      .groupBy(col("s"), col("j"), col("pos").cast("long").as("d"))
+      .agg(round(sum(round(col("col"), 9).cast(decD)).cast("double") /
         count(lit(1)), 9).as("c"))
       .localCheckpoint() // feeds encode here and the ADC LUT in q251
-    val codes = flat.join(broadcast(c1), Seq("s", "d"))
-      .groupBy(col("vec_id"), col("s"), col("j"))
-      .agg(sum(round((col("v") - col("c")) * (col("v") - col("c")), 12)
-        .cast(decD)).as("dist"))
-      .withColumn("rn", row_number().over(wPick))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("j").as("code"),
-        col("dist").cast("double").as("err"))
+    val c1v = c1.groupBy(col("s"), col("j"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").as("cv"))
+    val codes = sub.join(broadcast(c1v), Seq("s"))
+      .withColumn("dist", sqDist("sv", "cv"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("j"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.j").as("code"),
+        col("m.dist").cast("double").as("err"))
     (codes, c1)
   }
 
@@ -126,12 +138,13 @@ object QuantizeOps {
     "q251_pq_adc_topk",
     (s, dir) => {
       val (codes, c1) = pq(s, dir)
-      val q = flatSub(s, dir).filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("s"), col("d"), col("v").as("qv"))
-      val lut = q.join(broadcast(c1), Seq("s", "d"))
-        .groupBy(col("query_id"), col("s"), col("j"))
-        .agg(sum(round((col("qv") - col("c")) * (col("qv") - col("c")), 12)
-          .cast(decD)).as("ld"))
+      val q = subVecs(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qv"))
+      val c1v = c1.groupBy(col("s"), col("j"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").as("cv"))
+      val lut = q.join(broadcast(c1v), Seq("s"))
+        .withColumn("ld", sqDist("qv", "cv"))
+        .select(col("query_id"), col("s"), col("j"), col("ld"))
       val wTop = Window.partitionBy(col("query_id"))
         .orderBy(col("adc").asc, col("vec_id").asc)
       codes.join(broadcast(lut),
