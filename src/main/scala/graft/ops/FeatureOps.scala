@@ -124,23 +124,25 @@ object FeatureOps {
         (1 to 9).map(i => "l_extendedprice" -> i * 10000.0) ++
         (1 to 8).map(i => "l_discount" -> i * 0.01) ++
         (1 to 5).map(i => "l_tax" -> i * 0.015)
-      val gridCol = array(grid.map { case (f, thr) =>
-        struct(lit(f).as("feature"), lit(thr).as("thr"))
-      }: _*)
-      val cells = Tables(s, dir).lineitem
+      // every grid cell is a PAIR of conditional sums in ONE aggregation —
+      // no 31× row fan-out (the explode form measured 17 s at sf1; this is
+      // a single map-side-combining pass), unpivoted to rows afterwards
+      val base = Tables(s, dir).lineitem
         .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("l_tax"), (col("l_returnflag") === "R").as("y"))
-        .withColumn("g", explode(gridCol))
-        .withColumn("v",
-          when(col("g.feature") === "l_quantity", col("l_quantity"))
-            .when(col("g.feature") === "l_extendedprice", col("l_extendedprice"))
-            .when(col("g.feature") === "l_discount", col("l_discount"))
-            .otherwise(col("l_tax")))
-        .groupBy(col("g.feature").as("feature"), col("g.thr").as("thr"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
-          sum(when(col("v") <= col("g.thr"), 1L).otherwise(0L)).as("n_left"),
-          sum(when(col("v") <= col("g.thr") && col("y"), 1L).otherwise(0L)).as("pos_left"))
+      val aggCols = grid.zipWithIndex.flatMap { case ((f, thr), i) =>
+        Seq(sum(when(col(f) <= thr, 1L).otherwise(0L)).as(s"nl_$i"),
+            sum(when(col(f) <= thr && col("y"), 1L).otherwise(0L)).as(s"pl_$i"))
+      } ++ Seq(count(lit(1)).as("n"), sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      val one = base.agg(aggCols.head, aggCols.tail: _*)
+      val cells = one.select(explode(array(grid.zipWithIndex.map { case ((f, thr), i) =>
+          struct(lit(f).as("feature"), lit(thr).as("thr"),
+            col(s"nl_$i").as("n_left"), col(s"pl_$i").as("pos_left"),
+            col("n"), col("pos"))
+        }: _*)).as("g"))
+        .select(col("g.feature").as("feature"), col("g.thr").as("thr"),
+          col("g.n").as("n"), col("g.pos").as("pos"),
+          col("g.n_left").as("n_left"), col("g.pos_left").as("pos_left"))
       val scored = cells
         .withColumn("n_right", col("n") - col("n_left"))
         .withColumn("pos_right", col("pos") - col("pos_left"))
