@@ -69,6 +69,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q246_hits"                -> 1,
     "q248_sinkhorn"            -> 32,  // |sources| grid side, model-sized
     "q249_sensitivity_coreset" -> 8,   // fixed seed pool
+    "q278_ann_recall_sweep"    -> 8,   // fixed query pool (exact side)
     // quadratic yardsticks: the broadcast side is bounded by contract —
     // q30 by the fixed query set, q55 by "the whole corpus fits a
     // broadcast or the yardstick is not viable" (sf0.001 here).
@@ -139,7 +140,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q245_kneser_ney",         // 1-row bigram-type total broadcast (the q94 idiom)
     "q246_hits",               // 4 × 1-row L2-norm broadcasts (the q93 idiom)
     "q248_sinkhorn",           // langs × sources grid completion (model-sized both sides)
-    "q249_sensitivity_coreset") // 8-seed pool + 1-row totals broadcast
+    "q249_sensitivity_coreset", // 8-seed pool + 1-row totals broadcast
+    "q278_ann_recall_sweep")   // exact-side 5-query pool broadcast (the q30 idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
   // before the overlap join, so the scan sees no join shape (q230's case).
