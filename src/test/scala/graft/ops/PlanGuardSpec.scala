@@ -69,6 +69,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q246_hits"                -> 1,
     "q248_sinkhorn"            -> 32,  // |sources| grid side, model-sized
     "q249_sensitivity_coreset" -> 8,   // fixed seed pool
+    "q269_curriculum_shards"   -> 1,
     "q278_ann_recall_sweep"    -> 8,   // fixed query pool (exact side)
     // quadratic yardsticks: the broadcast side is bounded by contract —
     // q30 by the fixed query set, q55 by "the whole corpus fits a
@@ -141,6 +142,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q246_hits",               // 4 × 1-row L2-norm broadcasts (the q93 idiom)
     "q248_sinkhorn",           // langs × sources grid completion (model-sized both sides)
     "q249_sensitivity_coreset", // 8-seed pool + 1-row totals broadcast
+    "q269_curriculum_shards",  // inherits q94's 1-row vocabulary-size broadcast (the q238 case)
     "q278_ann_recall_sweep")   // exact-side 5-query pool broadcast (the q30 idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
