@@ -103,6 +103,15 @@ object ScaleGen {
         (col("l_partkey") - 1 + col("__copy") * lit(7919L)) % lit(basePartSpan) + 1)),
       "lineitem")
 
+    // Optional 4th arg "heaps": tail tokens draw (Zipf-skewed) from a
+    // FIXED 8192-word auxiliary vocabulary instead of being globally
+    // unique. Same dilution of shingle sets (3-shingles over an 8192³
+    // space almost never collide across docs, so near-dup semantics are
+    // unchanged), but token/bigram type counts now grow SUB-linearly —
+    // the Heaps-law control corpus for the LM-family scale experiments
+    // in BASELINE.md. Default mode is unchanged (worst-case
+    // vocabulary-linear growth).
+    val heapsTails = args.length > 3 && args(3) == "heaps"
     write(replicate(t.documents, Seq("doc_id"), d =>
       d.withColumn("text", when(exactTwin("doc_id"), col("text"))
         .otherwise {
@@ -112,10 +121,19 @@ object ScaleGen {
           val tailLen = greatest(lit(1),
             (size(split(col("text"), " ")) / 4).cast("int") *
               least(col("__copy"), lit(6)).cast("int"))
+          val tailTok: Column => Column =
+            if (heapsTails) { i =>
+              // u² skews draws toward low ids (Zipf-ish), so frequent
+              // aux tokens repeat and type growth saturates
+              val u = pmod(hash(col("doc_id"), col("__copy"), i), lit(100000))
+                .cast("double") / 100000.0
+              concat(lit("aux"), floor(u * u * 8192).cast("long"))
+            } else { i =>
+              concat(lit("z"), col("doc_id"), lit("c"), col("__copy"),
+                     lit("p"), i)
+            }
           concat(col("text"), lit(" "), array_join(
-            transform(sequence(lit(1), tailLen),
-              i => concat(lit("z"), col("doc_id"), lit("c"), col("__copy"),
-                          lit("p"), i)), " "))
+            transform(sequence(lit(1), tailLen), tailTok), " "))
         })), "documents")
 
     write(replicate(t.embeddings, Seq("vec_id"), d =>

@@ -150,7 +150,8 @@ object GenOps {
           round(col("ctr") / col("ctr_pos1"), 6).as("bias_vs_pos1"))
     },
     Some("""WITH ev AS (SELECT user_id, event_id, ts, event_type,
-          epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+          CAST(floor(epoch(ts)) AS BIGINT) - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
         FROM events),
       sess AS (SELECT user_id, event_id, ts, event_type,
           SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
