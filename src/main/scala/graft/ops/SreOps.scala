@@ -58,8 +58,8 @@ object SreOps {
         CAST(SUM(CASE WHEN burn > 6.0 THEN 1 ELSE 0 END) AS BIGINT)
       FROM b6"""))
 
-  /** Retry-storm detection: per user, error events within 60 s of the
-    * previous error (10-minute chain window) chain into a storm (the gaps-and-islands shape on
+  /** Retry-storm detection: per user, error events within an hour of the
+    * previous error (1-hour chain window) chain into a storm (the gaps-and-islands shape on
     * the error sub-stream); users whose longest storm reaches 2 are the
     * retry-loop suspects. Output: every such user with storm counts and
     * the longest chain. Per-user ordered windows only — no joins. */
@@ -74,7 +74,7 @@ object SreOps {
         .withColumn("gap_s",
           col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(wUser))
         .withColumn("new_storm",
-          when(col("gap_s").isNull || col("gap_s") > 600, 1L).otherwise(0L))
+          when(col("gap_s").isNull || col("gap_s") > 3600, 1L).otherwise(0L))
         .withColumn("storm", sum(col("new_storm")).over(wUser))
       errs.groupBy(col("user_id"), col("storm"))
         .agg(count(lit(1)).as("storm_len"))
@@ -89,7 +89,7 @@ object SreOps {
             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
         FROM events WHERE event_type = 'error'),
       st AS (SELECT user_id, event_id,
-          SUM(CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END)
+          SUM(CASE WHEN gap_s IS NULL OR gap_s > 3600 THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS storm
         FROM errs),
