@@ -73,6 +73,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q278_ann_recall_sweep"    -> 8,   // fixed query pool (exact side)
     "q289_weight_diagnostics"  -> 1,
     "q293_littles_law"         -> 1,
+    "q294_ewma_control"        -> 1,
+    "q296_fellegi_sunter"      -> 1,
+    "q297_nelson_aalen"        -> 1,
+    "q298_good_turing"         -> 1,
     // quadratic yardsticks: the broadcast side is bounded by contract —
     // q30 by the fixed query set, q55 by "the whole corpus fits a
     // broadcast or the yardstick is not viable" (sf0.001 here).
@@ -147,7 +151,11 @@ class PlanGuardSpec extends SparkTestBase {
     "q269_curriculum_shards",  // inherits q94's 1-row vocabulary-size broadcast (the q238 case)
     "q278_ann_recall_sweep",   // exact-side 5-query pool broadcast (the q30 idiom)
     "q289_weight_diagnostics", // 1-row p99-weight broadcast
-    "q293_littles_law")        // two 1-row aggregates cross-joined (the q215 idiom)
+    "q293_littles_law",        // two 1-row aggregates cross-joined (the q215 idiom)
+    "q294_ewma_control",       // 1-row (center, limit) moments broadcast (the q164 idiom)
+    "q296_fellegi_sunter",     // 1-row (u_seg, u_band) marginals broadcast
+    "q297_nelson_aalen",       // 1-row censoring-horizon broadcast (the q161 idiom)
+    "q298_good_turing")        // 1-row (N, N1) totals broadcast (the q56/q91 idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
   // before the overlap join, so the scan sees no join shape (q230's case).
