@@ -78,6 +78,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q297_nelson_aalen"        -> 1,
     "q298_good_turing"         -> 1,
     "q303_bloom_fpr_sweep"     -> 2,   // 2-row geometry sweep + 1-row counts
+    "q306_cbo_cardinality"     -> 1,   // 1-row stats aggregates per edge
+    "q307_histogram_selectivity" -> 16, // 16-bucket histogram × 5-threshold sweep
     // quadratic yardsticks: the broadcast side is bounded by contract —
     // q30 by the fixed query set, q55 by "the whole corpus fits a
     // broadcast or the yardstick is not viable" (sf0.001 here).
@@ -157,7 +159,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q296_fellegi_sunter",     // 1-row (u_seg, u_band) marginals broadcast
     "q297_nelson_aalen",       // 1-row censoring-horizon broadcast (the q161 idiom)
     "q298_good_turing",        // 1-row (N, N1) totals broadcast (the q56/q91 idiom)
-    "q303_bloom_fpr_sweep")    // 2-row geometry fan-out + 1-row member/probe counts
+    "q303_bloom_fpr_sweep",    // 2-row geometry fan-out + 1-row member/probe counts
+    "q306_cbo_cardinality",    // 1-row (n, ndv) stats aggregates cross-joined per edge
+    "q307_histogram_selectivity") // 16-row histogram × 5-row threshold sweep (model-sized)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
   // before the overlap join, so the scan sees no join shape (q230's case).
