@@ -80,6 +80,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q303_bloom_fpr_sweep"     -> 2,   // 2-row geometry sweep + 1-row counts
     "q306_cbo_cardinality"     -> 1,   // 1-row stats aggregates per edge
     "q307_histogram_selectivity" -> 16, // 16-bucket histogram × 5-threshold sweep
+    "q311_paired_permutation"  -> 1,   // 1-row observed-statistic broadcast
     // quadratic yardsticks: the broadcast side is bounded by contract —
     // q30 by the fixed query set, q55 by "the whole corpus fits a
     // broadcast or the yardstick is not viable" (sf0.001 here).
@@ -161,7 +162,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q298_good_turing",        // 1-row (N, N1) totals broadcast (the q56/q91 idiom)
     "q303_bloom_fpr_sweep",    // 2-row geometry fan-out + 1-row member/probe counts
     "q306_cbo_cardinality",    // 1-row (n, ndv) stats aggregates cross-joined per edge
-    "q307_histogram_selectivity") // 16-row histogram × 5-row threshold sweep (model-sized)
+    "q307_histogram_selectivity", // 16-row histogram × 5-row threshold sweep (model-sized)
+    "q311_paired_permutation") // 1-row observed-statistic broadcast (the q164 idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
   // before the overlap join, so the scan sees no join shape (q230's case).
