@@ -81,6 +81,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q306_cbo_cardinality"     -> 1,   // 1-row stats aggregates per edge
     "q307_histogram_selectivity" -> 16, // 16-bucket histogram × 5-threshold sweep
     "q311_paired_permutation"  -> 1,   // 1-row observed-statistic broadcast
+    "q315_markov_removal"      -> 5,   // 5-row variant fan-out + 1-row base conv
+    "q316_shapley_attribution" -> 16,  // 16-mask lattice × 4-channel fan-out
     // quadratic yardsticks: the broadcast side is bounded by contract —
     // q30 by the fixed query set, q55 by "the whole corpus fits a
     // broadcast or the yardstick is not viable" (sf0.001 here).
@@ -163,7 +165,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q303_bloom_fpr_sweep",    // 2-row geometry fan-out + 1-row member/probe counts
     "q306_cbo_cardinality",    // 1-row (n, ndv) stats aggregates cross-joined per edge
     "q307_histogram_selectivity", // 16-row histogram × 5-row threshold sweep (model-sized)
-    "q311_paired_permutation") // 1-row observed-statistic broadcast (the q164 idiom)
+    "q311_paired_permutation", // 1-row observed-statistic broadcast (the q164 idiom)
+    "q315_markov_removal",     // 5-row variant fan-out over the ≤24-edge matrix
+    "q316_shapley_attribution") // 16-mask × 4-channel lattice (constant-sized by construction)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
   // before the overlap join, so the scan sees no join shape (q230's case).
