@@ -83,6 +83,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q311_paired_permutation"  -> 1,   // 1-row observed-statistic broadcast
     "q315_markov_removal"      -> 5,   // 5-row variant fan-out + 1-row base conv
     "q316_shapley_attribution" -> 16,  // 16-mask lattice × 4-channel fan-out
+    "q319_wand_pruning"        -> 1,   // 1-row (stats, theta) broadcasts
+    "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
+    "q321_rocchio_prf"         -> 3,   // 3-term seed frame + q91's 1-row stats
     // quadratic yardsticks: the broadcast side is bounded by contract —
     // q30 by the fixed query set, q55 by "the whole corpus fits a
     // broadcast or the yardstick is not viable" (sf0.001 here).
@@ -167,7 +170,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q307_histogram_selectivity", // 16-row histogram × 5-row threshold sweep (model-sized)
     "q311_paired_permutation", // 1-row observed-statistic broadcast (the q164 idiom)
     "q315_markov_removal",     // 5-row variant fan-out over the ≤24-edge matrix
-    "q316_shapley_attribution") // 16-mask × 4-channel lattice (constant-sized by construction)
+    "q316_shapley_attribution", // 16-mask × 4-channel lattice (constant-sized by construction)
+    "q319_wand_pruning",       // 1-row corpus stats + 1-row theta broadcasts
+    "q320_cascade_recall",     // 3-row candidate-budget sweep (the q213 idiom)
+    "q321_rocchio_prf")        // inherits q91's 1-row (n_docs, avgdl) broadcast
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
   // before the overlap join, so the scan sees no join shape (q230's case).
