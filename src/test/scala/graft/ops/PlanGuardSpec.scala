@@ -84,6 +84,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q315_markov_removal"      -> 5,   // 5-row variant fan-out + 1-row base conv
     "q316_shapley_attribution" -> 16,  // 16-mask lattice × 4-channel fan-out
     "q319_wand_pruning"        -> 1,   // 1-row (stats, theta) broadcasts
+    "q322_erlang_staffing"     -> 1,   // 1-row peak-rate broadcast
+    "q324_safety_stock"        -> 3,   // 3-row service-level fan-out
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
     "q321_rocchio_prf"         -> 3,   // 3-term seed frame + q91's 1-row stats
     // quadratic yardsticks: the broadcast side is bounded by contract —
@@ -173,7 +175,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q316_shapley_attribution", // 16-mask × 4-channel lattice (constant-sized by construction)
     "q319_wand_pruning",       // 1-row corpus stats + 1-row theta broadcasts
     "q320_cascade_recall",     // 3-row candidate-budget sweep (the q213 idiom)
-    "q321_rocchio_prf")        // inherits q91's 1-row (n_docs, avgdl) broadcast
+    "q321_rocchio_prf",        // inherits q91's 1-row (n_docs, avgdl) broadcast
+    "q322_erlang_staffing",    // 1-row peak-λ broadcast feeding the c-sweep
+    "q324_safety_stock")       // 3-row z-level fan-out (the q213 idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
   // before the overlap join, so the scan sees no join shape (q230's case).
