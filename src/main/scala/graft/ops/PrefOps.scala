@@ -1,0 +1,285 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Post-training data wave: DPO preference-pair construction, the
+  * best-of-n expected-quality curve (inference-time scaling math from
+  * exact order statistics), incremental near-dup maintenance (the
+  * streaming-ingest story for the MinHash stack), and multimodal
+  * sequence packing with per-modality token accounting.
+  *
+  * Scale shapes: preference pairs and packing run inside per-group /
+  * per-shard windows; best-of-n folds the per-source CDF; incremental
+  * dedup's new-batch candidates come from the same band equi-join as
+  * q28 with the new side as the probe — the whole point is that
+  * arrival batches never re-shuffle the old corpus.
+  */
+object PrefOps {
+
+  /** Per-doc quality score shared by q330/q331: the distinct-token
+    * ratio (boilerplate-sensitive, deterministic, cheap). */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+      .withColumn("score",
+        round(size(array_distinct(col("toks"))).cast("double") / col("n_toks"), 6))
+      .drop("toks")
+
+  private val scoredSql =
+    """scored AS (SELECT doc_id, lang, source,
+        CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_toks,
+        round(CAST(len(list_distinct(regexp_extract_all(lower(text), '\w+')))
+          AS DOUBLE) / len(regexp_extract_all(lower(text), '\w+')), 6) AS score
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '\w+')) > 0)"""
+
+  /** DPO/RLHF preference-pair construction: within each (lang, source)
+    * prompt group, rank documents by quality and pair rank i with rank
+    * n+1−i (i ≤ 3), keeping pairs whose score margin ≥ 0.05 — the
+    * top-vs-bottom builder that turns a scored corpus into preference
+    * data. Per-group windows only. */
+  val q330PreferencePairs: QueryDef = QueryDef(
+    "q330_preference_pairs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("source"))
+      val ranked = scored(s, dir)
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .localCheckpoint() // both pair sides read the same ranking
+      val top = ranked.filter(col("rk") <= 3 && col("rk") * 2 <= col("n"))
+        .select(col("lang"), col("source"), col("rk").as("i"),
+          col("doc_id").as("chosen_id"), col("score").as("s_chosen"), col("n"))
+      val bot = ranked
+        .select(col("lang"), col("source"), (col("n") + 1 - col("rk")).as("i"),
+          col("doc_id").as("rejected_id"), col("score").as("s_rejected"))
+      top.join(bot, Seq("lang", "source", "i"))
+        .withColumn("margin", round(col("s_chosen") - col("s_rejected"), 6))
+        .filter(col("margin") >= 0.05)
+        .select(col("lang"), col("source"), col("i").as("pair_rank"),
+          col("chosen_id"), col("rejected_id"), col("margin"))
+        .orderBy(col("lang"), col("source"), col("pair_rank"))
+    },
+    Some(s"""WITH $scoredSql,
+      ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+          CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT) AS n
+        FROM scored),
+      top AS (SELECT lang, source, rk AS i, doc_id AS chosen_id,
+          score AS s_chosen, n
+        FROM ranked WHERE rk <= 3 AND rk * 2 <= n),
+      bot AS (SELECT lang, source, n + 1 - rk AS i, doc_id AS rejected_id,
+          score AS s_rejected
+        FROM ranked)
+      SELECT t.lang, t.source, t.i AS pair_rank, t.chosen_id, b.rejected_id,
+        round(t.s_chosen - b.s_rejected, 6) AS margin
+      FROM top t JOIN bot b ON b.lang = t.lang AND b.source = t.source
+        AND b.i = t.i
+      WHERE round(t.s_chosen - b.s_rejected, 6) >= 0.05
+      ORDER BY t.lang, t.source, pair_rank"""))
+
+  /** Best-of-n expected quality: for n = 1/2/4/8 independent draws from
+    * each source's empirical score distribution, E[max] =
+    * Σ x·(F(x)ⁿ − F(x⁻)ⁿ) — exact order-statistic math on the per-source
+    * CDF, the curve behind inference-time best-of-n sampling budgets.
+    * One ranking window per source; the n-sweep is a 4-row fan-out on
+    * the distinct-score frame. */
+  val q331BestOfN: QueryDef = QueryDef(
+    "q331_best_of_n",
+    (s, dir) => {
+      val wCum = Window.partitionBy(col("source")).orderBy(col("score").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = scored(s, dir)
+        .groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n_total", sum(col("c")).over(Window.partitionBy(col("source"))))
+        .withColumn("f", col("cum").cast("double") / col("n_total"))
+        .withColumn("f_prev", (col("cum") - col("c")).cast("double") / col("n_total"))
+      cdf.withColumn("n", explode(array(lit(1L), lit(2L), lit(4L), lit(8L))))
+        .withColumn("term", round(col("score") *
+          (pow(col("f"), col("n").cast("double")) -
+           pow(col("f_prev"), col("n").cast("double"))), 12)
+          .cast(DecimalType(24, 12)))
+        .groupBy(col("source"), col("n"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("expected_max"),
+          max(col("n_total")).as("n_docs"))
+        .orderBy(col("source"), col("n"))
+    },
+    Some(s"""WITH $scoredSql,
+      cdf AS (SELECT source, score, CAST(COUNT(*) AS BIGINT) AS c
+        FROM scored GROUP BY 1, 2),
+      cum AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY source ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+          CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_total
+        FROM cdf),
+      ff AS (SELECT *, CAST(cumc AS DOUBLE) / n_total AS f,
+          CAST(cumc - c AS DOUBLE) / n_total AS f_prev
+        FROM cum),
+      sweep AS (SELECT ff.*, n.n
+        FROM ff CROSS JOIN (SELECT UNNEST([1, 2, 4, 8]) AS n) n),
+      terms AS (SELECT source, n, n_total,
+          CAST(round(score * (power(f, n) - power(f_prev, n)), 12)
+            AS DECIMAL(24,12)) AS term
+        FROM sweep)
+      SELECT source, CAST(n AS BIGINT) AS n,
+        round(CAST(SUM(term) AS DOUBLE), 6) AS expected_max,
+        CAST(MAX(n_total) AS BIGINT) AS n_docs
+      FROM terms GROUP BY 1, 2 ORDER BY source, n"""))
+
+  /** Incremental near-dup maintenance: with the corpus split into the
+    * standing era (doc_id % 10 ≠ 0) and an arrival batch (% 10 = 0),
+    * the incremental update only band-joins the BATCH signatures
+    * against the full index — the standing corpus never re-shuffles —
+    * and the invariant FULL = STANDING ∪ BATCH-TOUCHING is verified
+    * in-plan by symmetric difference (q28's signatures, banding, and
+    * exact Jaccard verify throughout). The report: pair counts per
+    * category and the difference counts, which must both be zero. */
+  val q332IncrementalDedup: QueryDef = QueryDef(
+    "q332_incremental_dedup",
+    (s, dir) => {
+      val k = 32; val bands = 16
+      val docs = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val shingled = docs.withColumn("hsh",
+        expr("transform(sequence(0, size(toks)-3), i -> xxhash64(toks[i], toks[i+1], toks[i+2]))"))
+        .withColumn("sig", Dedup.minhashSig(col("hsh"), k))
+        .localCheckpoint() // signatures built ONCE for all three pair sets
+      val banded = shingled.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(element_at(col("sig"), b * 2 + 1),
+                          element_at(col("sig"), b * 2 + 2)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+        .localCheckpoint()
+      val sh = shingled.select(col("doc_id"), array_distinct(col("hsh")).as("shd"))
+        .localCheckpoint()
+      def verified(cands: DataFrame): DataFrame = cands
+        .join(sh.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), Seq("id_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val aSide = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+      val bSide = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
+      val full = verified(aSide.join(bSide, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b")).select(col("id_a"), col("id_b")).distinct())
+        .localCheckpoint()
+      val standing = verified(
+        aSide.filter(col("id_a") % 10 =!= 0)
+          .join(bSide.filter(col("id_b") % 10 =!= 0), Seq("band", "band_hash"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct())
+      // the incremental step: ONLY the batch side probes the band index
+      val batchTouching = verified(
+        aSide.join(bSide.filter(col("id_b") % 10 === 0), Seq("band", "band_hash"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .distinct())
+      val standingC = standing.localCheckpoint()
+      val batchC = batchTouching.localCheckpoint()
+      val union = standingC.unionByName(batchC).distinct().localCheckpoint()
+      // ONE plan: every count is a 1-row aggregate cross-joined into the
+      // report (the q122 idiom), including the two symmetric-difference
+      // legs — no driver-side .count()
+      def one(df: DataFrame, name: String) =
+        broadcast(df.agg(count(lit(1)).as(name)))
+      one(full, "n_full")
+        .crossJoin(one(standingC, "n_standing"))
+        .crossJoin(one(batchC, "n_batch_touching"))
+        .crossJoin(one(full.exceptAll(union), "n_missing"))
+        .crossJoin(one(union.exceptAll(full), "n_extra"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+      sdocs AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks)-1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM t WHERE len(toks) >= 3),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sdocs a JOIN sdocs b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+        CAST(SUM(CASE WHEN id_a % 10 <> 0 AND id_b % 10 <> 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_standing,
+        CAST(SUM(CASE WHEN id_a % 10 = 0 OR id_b % 10 = 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_touching,
+        0::BIGINT AS n_missing, 0::BIGINT AS n_extra
+      FROM pairs"""))
+
+  /** Multimodal sequence packing: each document carries doc_id % 4
+    * synthetic images at 256 tokens apiece next to its text tokens;
+    * sequences pack per (lang, 16-way md5 shard) into 8192-token
+    * budgets by the prefix-sum next-fit (the q82/q304 idiom — packing
+    * is per output shard, so the windows parallelize at any scale).
+    * Reports per lang: sequences, fill, and the text/image token
+    * split — the budget question interleaved training data asks. */
+  val q333MultimodalPacking: QueryDef = QueryDef(
+    "q333_multimodal_packing",
+    (s, dir) => {
+      val budget = 8192L
+      val docs = scored(s, dir)
+        .withColumn("n_img", (col("doc_id") % 4).cast("long"))
+        .withColumn("img_toks", col("n_img") * 256L)
+        .withColumn("cost", col("n_toks") + col("img_toks"))
+        .withColumn("shard",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(16L)))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum", sum(col("cost")).over(w))
+        .withColumn("seq", ((col("cum") - col("cost")) / budget).cast("long"))
+        .groupBy(col("lang"), col("shard"), col("seq"))
+        .agg(count(lit(1)).as("docs_in_seq"),
+          sum(col("n_toks")).as("text_toks"), sum(col("img_toks")).as("img_toks"))
+        .groupBy(col("lang"))
+        .agg(sum(col("docs_in_seq")).as("n_docs"),
+          count(lit(1)).as("n_seqs"),
+          sum(col("text_toks")).as("text_toks"),
+          sum(col("img_toks")).as("img_toks"))
+        .withColumn("fill", round((col("text_toks") + col("img_toks")).cast("double") /
+          (col("n_seqs") * budget), 6))
+        .withColumn("image_share", round(col("img_toks").cast("double") /
+          (col("text_toks") + col("img_toks")), 6))
+        .select(col("lang"), col("n_docs"), col("n_seqs"), col("text_toks"),
+          col("img_toks"), col("fill"), col("image_share"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH $scoredSql,
+      docs AS (SELECT lang, doc_id, n_toks,
+          (doc_id % 4) * 256 AS img_toks,
+          n_toks + (doc_id % 4) * 256 AS cost,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
+        FROM scored),
+      packed AS (SELECT lang, shard, n_toks, img_toks,
+          CAST((SUM(cost) OVER (PARTITION BY lang, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost)
+            // 8192 AS BIGINT) AS seq
+        FROM docs),
+      seqs AS (SELECT lang, shard, seq, CAST(COUNT(*) AS BIGINT) AS docs_in_seq,
+          CAST(SUM(n_toks) AS BIGINT) AS text_toks,
+          CAST(SUM(img_toks) AS BIGINT) AS img_toks
+        FROM packed GROUP BY 1, 2, 3)
+      SELECT lang, CAST(SUM(docs_in_seq) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        CAST(SUM(text_toks) AS BIGINT) AS text_toks,
+        CAST(SUM(img_toks) AS BIGINT) AS img_toks,
+        round(CAST(SUM(text_toks) + SUM(img_toks) AS DOUBLE)
+          / (COUNT(*) * 8192), 6) AS fill,
+        round(CAST(SUM(img_toks) AS DOUBLE)
+          / (SUM(text_toks) + SUM(img_toks)), 6) AS image_share
+      FROM seqs GROUP BY 1 ORDER BY lang"""))
+
+  val all: Seq[QueryDef] = Seq(q330PreferencePairs, q331BestOfN,
+    q332IncrementalDedup, q333MultimodalPacking)
+}
