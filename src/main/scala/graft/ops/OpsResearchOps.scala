@@ -202,7 +202,9 @@ object OpsResearchOps {
           sqrt(CAST(s2 AS DOUBLE) / n
             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sigma
         FROM moments),
-      levels AS (SELECT * FROM (VALUES (0.90, 1.2815515655),
+      levels AS (SELECT CAST(service_level AS DOUBLE) AS service_level,
+          CAST(z AS DOUBLE) AS z
+        FROM (VALUES (0.90, 1.2815515655),
           (0.95, 1.6448536270), (0.99, 2.3263478740)) l(service_level, z))
       SELECT brand, service_level, round(mu, 4) AS mu_daily,
         round(sigma, 4) AS sigma_daily,
