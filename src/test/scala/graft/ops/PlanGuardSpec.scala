@@ -88,6 +88,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q324_safety_stock"        -> 3,   // 3-row service-level fan-out
     "q329_t_closeness"         -> 5,   // 5-row sensitive-marginal grid completion
     "q332_incremental_dedup"   -> 1,   // five 1-row count aggregates cross-joined
+    "q334_textrank_keywords"   -> 1,   // 1-row |V| broadcast per iteration
+    "q337_kendall_tau"         -> 30,  // |brands|² pairing — dimension-bounded by contract
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
     "q321_rocchio_prf"         -> 3,   // 3-term seed frame + q91's 1-row stats
     // quadratic yardsticks: the broadcast side is bounded by contract —
@@ -181,7 +183,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q322_erlang_staffing",    // 1-row peak-λ broadcast feeding the c-sweep
     "q324_safety_stock",       // 3-row z-level fan-out (the q213 idiom)
     "q329_t_closeness",        // 5-row priority-marginal grid fan-out
-    "q332_incremental_dedup")  // 1-row pair-count aggregates cross-joined (the q217 idiom)
+    "q332_incremental_dedup",  // 1-row pair-count aggregates cross-joined (the q217 idiom)
+    "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
+    "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
   // before the overlap join, so the scan sees no join shape (q230's case).
