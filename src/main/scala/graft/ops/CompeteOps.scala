@@ -239,7 +239,8 @@ object CompeteOps {
         FROM s2)
       SELECT brand, wins, comparisons,
         round(s2_raw * n_brands / s2_sum, 6) AS strength,
-        CAST(ROW_NUMBER() OVER (ORDER BY s2_raw * n_brands / s2_sum DESC, brand)
+        CAST(ROW_NUMBER() OVER (ORDER BY round(s2_raw * n_brands / s2_sum, 6)
+            DESC, brand)
           AS BIGINT) AS rank
       FROM norm ORDER BY rank"""))
 

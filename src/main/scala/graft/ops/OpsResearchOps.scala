@@ -43,10 +43,19 @@ object OpsResearchOps {
         .select(col("lambda"), col("a"),
           explode(sequence(ceil(col("a")).cast("long") + 1,
             ceil(col("a")).cast("long") + 8)).as("c"))
+      // a^k/k! as exp(k ln a - ln k!) with ln k! from a running window
+      // sum of ln j — Spark's factorial() is NULL past k = 20, so any
+      // fixture whose peak arrival rate exceeds ~240/hour would silently
+      // diverge under the factorial form. The log-space form is exact to
+      // the shared round(..., 9) and has no domain cliff.
+      val wk = Window.partitionBy(col("c")).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val terms = cs
         .withColumn("k", explode(sequence(lit(0L), col("c"))))
-        .withColumn("t", round(pow(col("a"), col("k").cast("double")) /
-          factorial(col("k").cast("int")), 9).cast(DecimalType(28, 9)))
+        .withColumn("lnfact", sum(when(col("k") > 0,
+          log(col("k").cast("double"))).otherwise(lit(0.0))).over(wk))
+        .withColumn("t", round(exp(col("k").cast("double") * log(col("a")) -
+          col("lnfact")), 9).cast(DecimalType(28, 9)))
       terms
         .groupBy(col("lambda"), col("a"), col("c"))
         .agg(sum(when(col("k") < col("c"), col("t")).otherwise(
@@ -71,10 +80,15 @@ object OpsResearchOps {
       cs AS (SELECT lam.lambda, lam.a, c.c
         FROM lam, LATERAL (SELECT UNNEST(range(CAST(ceil(lam.a) AS BIGINT) + 1,
           CAST(ceil(lam.a) AS BIGINT) + 9)) AS c) c),
-      terms AS (SELECT cs.lambda, cs.a, cs.c, k.k,
-          CAST(round(power(cs.a, k.k) / factorial(CAST(k.k AS INT)), 9)
-            AS DECIMAL(28,9)) AS t
+      kr AS (SELECT cs.lambda, cs.a, cs.c, k.k
         FROM cs, LATERAL (SELECT UNNEST(range(0, cs.c + 1)) AS k) k),
+      terms AS (SELECT lambda, a, c, k,
+          CAST(round(exp(k * ln(a) -
+            SUM(CASE WHEN k > 0 THEN ln(k) ELSE 0.0 END)
+              OVER (PARTITION BY c ORDER BY k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+            AS DECIMAL(28,9)) AS t
+        FROM kr),
       agg AS (SELECT lambda, a, c,
           CAST(SUM(CASE WHEN k < c THEN t ELSE CAST(0 AS DECIMAL(28,9)) END)
             AS DOUBLE) AS s_below,

@@ -139,7 +139,20 @@ object PrefOps {
     * and the invariant FULL = STANDING ∪ BATCH-TOUCHING is verified
     * in-plan by symmetric difference (q28's signatures, banding, and
     * exact Jaccard verify throughout). The report: pair counts per
-    * category and the difference counts, which must both be zero. */
+    * category and the difference counts, which must both be zero.
+    *
+    * ORACLE RECALL DEPENDENCY (same contract as q28, documented here
+    * because this oracle compares COUNTS): the DuckDB side enumerates
+    * every exact Jaccard ≥ 0.5 pair, while the Spark side counts only
+    * 16-band/2-row MinHash candidates — a true pair that collides in no
+    * band would undercount n_full/n_batch_touching. This fixture's true
+    * pairs all sit at j ≥ 0.7 (no pair in [0.2, 0.7)), where the miss
+    * probability is (1−j²)¹⁶ ≤ 0.51¹⁶ ≈ 2·10⁻⁵ per pair with FIXED hash
+    * functions, so candidate generation is deterministic and complete on
+    * this corpus (DedupSpec re-verifies against brute force). A fixture
+    * regeneration that introduces borderline-j pairs must either keep
+    * this margin or move the oracle to reproduce the banding (the
+    * q29/q31 md5-derived-hash pattern). */
   val q332IncrementalDedup: QueryDef = QueryDef(
     "q332_incremental_dedup",
     (s, dir) => {
@@ -215,20 +228,39 @@ object PrefOps {
         0::BIGINT AS n_missing, 0::BIGINT AS n_extra
       FROM pairs"""))
 
-  /** Multimodal sequence packing: each document carries doc_id % 4
-    * synthetic images at 256 tokens apiece next to its text tokens;
-    * sequences pack per (lang, 16-way md5 shard) into 8192-token
-    * budgets by the prefix-sum next-fit (the q82/q304 idiom — packing
-    * is per output shard, so the windows parallelize at any scale).
-    * Reports per lang: sequences, fill, and the text/image token
-    * split — the budget question interleaved training data asks. */
+  /** Multimodal sequence packing: each document's image-token cost is
+    * derived from its REAL PNG payload — the q53 codec renders the
+    * document bytes into a width-256 grayscale PNG, Spark decodes that
+    * payload's header back (ImageIO.read → getHeight) and charges 64
+    * vision tokens per 256-pixel frame row. The oracle reproduces the
+    * codec's documented geometry (height = max(1, ceil(bytes/256)))
+    * from the source length, so the gate cross-checks the codec
+    * round-trip, not a synthetic modality column. Sequences pack per
+    * (lang, 16-way md5 shard) into 8192-token budgets by the
+    * prefix-sum next-fit (the q82/q304 idiom — packing is per output
+    * shard, so the windows parallelize at any scale). Reports per
+    * lang: sequences, fill, and the text/image token split — the
+    * budget question interleaved training data asks. */
   val q333MultimodalPacking: QueryDef = QueryDef(
     "q333_multimodal_packing",
     (s, dir) => {
       val budget = 8192L
+      import s.implicits._
+      // real modality column: encode each doc's bytes as an actual PNG
+      // (q53's codec), decode the payload header back, and price vision
+      // tokens off the decoded raster height — partition-local, linear
+      val imgRows = Tables(s, dir).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val png = Multimodal.ImageCodec.encodePng(bytes)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          (id, img.getHeight.toLong)
+        }).toDF("doc_id", "img_rows")
       val docs = scored(s, dir)
-        .withColumn("n_img", (col("doc_id") % 4).cast("long"))
-        .withColumn("img_toks", col("n_img") * 256L)
+        .join(imgRows, Seq("doc_id"))
+        .withColumn("img_toks", col("img_rows") * 64L)
         .withColumn("cost", col("n_toks") + col("img_toks"))
         .withColumn("shard",
           pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -256,11 +288,14 @@ object PrefOps {
         .orderBy(col("lang"))
     },
     Some(s"""WITH $scoredSql,
+      imgr AS (SELECT doc_id,
+          GREATEST(1, CAST(ceil(strlen(text) / 256.0) AS BIGINT)) AS img_rows
+        FROM documents),
       docs AS (SELECT lang, doc_id, n_toks,
-          (doc_id % 4) * 256 AS img_toks,
-          n_toks + (doc_id % 4) * 256 AS cost,
+          img_rows * 64 AS img_toks,
+          n_toks + img_rows * 64 AS cost,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
-        FROM scored),
+        FROM scored JOIN imgr USING (doc_id)),
       packed AS (SELECT lang, shard, n_toks, img_toks,
           CAST((SUM(cost) OVER (PARTITION BY lang, shard ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost)
