@@ -73,35 +73,81 @@ object RefineOps {
           AND stop_types >= 3 AND ttr >= 0.4 AS passed
       FROM m"""))
 
-  /** SemDeDup (Abbas et al. 2023): semantic near-dup pruning inside
-    * coarse embedding cells. Vectors are assigned to q75's 8 IVF seed
-    * cells by the same shuffle-free argmax projection, then pairwise
-    * cosine runs ONLY within a cell (a < b), and a vector is dropped when
-    * any smaller-id cellmate scores >= tau — the deterministic greedy
-    * keep-first rule. Output: every vector with its cell, the count of
-    * shadowing smaller-id neighbors, and the kept flag (never empty,
-    * unlike the dropped set alone). Within-cell pairing is the whole
-    * scale design: cost is sum(cell^2), and at 100 TB the cell count
-    * grows with the corpus (k-means centroids) so cells stay bounded and
-    * the quadratic term never sees the full corpus. Cosines fold
-    * sequentially in double on both engines ([[Similarity.dot]] native
-    * expression vs DuckDB's list fold), so the tau filter sees identical
-    * bits and needs no rounding tolerance. tau = 0.35 is tuned to this
-    * corpus's within-cell cosine spread (max pair ~0.47, median ~0). */
-  val q227Semdedup: QueryDef = QueryDef(
-    "q227_semdedup",
-    (s, dir) => {
-      val nSeeds = 8
-      val tau = 0.35
-      val emb = Tables(s, dir).embeddings
+  /** Target within-cell population for SemDeDup: the seed count scales
+    * as max(8, ceil(N / targetCellSize)), so the within-cell pairwise
+    * stage is bounded by ~targetCellSize² per cell however large the
+    * corpus — the quadratic term never sees N. 128 keeps the fixture
+    * floors (8 cells at sf0.01) while sf0.1 already runs 16 cells and a
+    * 100 TB corpus would run N/128. */
+  val semdedupTargetCellSize = 128L
+
+  /** Seed count for a corpus of `nVec` embeddings (shared by the query
+    * and its occupancy spec). */
+  def semdedupSeeds(nVec: Long): Int =
+    math.max(8L, (nVec + semdedupTargetCellSize - 1) / semdedupTargetCellSize).toInt
+
+  /** Cell assignment for SemDeDup. Two plans, one semantics (argmax
+    * cosine over seeds, ties to the smaller seed id — the spec proves
+    * them identical on the fixture):
+    *  - nSeeds ≤ 64: seeds inlined as literals, assignment is a pure
+    *    shuffle-free projection inside whole-stage codegen;
+    *  - nSeeds > 64 (large corpora): seeds become a broadcast frame, the
+    *    argmax is a max(struct(cos, -seed_id)) partial-aggregating
+    *    hash-agg on vec_id — linear in N·nSeeds with no literal blowup,
+    *    the plan a 1000-executor run needs. */
+  def semdedupCells(s: SparkSession, dir: String, nSeeds: Int,
+                    forceJoinPath: Boolean = false): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+      .repartition(s.sparkContext.defaultParallelism)
+    if (nSeeds <= 64 && !forceJoinPath) {
       val seeds = Tables.seedVectors(dir, nSeeds)
       def seedScores(v: Column): Column = array(seeds.map { case (sid, vec) =>
         struct(Similarity.cosine(v, typedlit(vec)).as("cos"), lit(-sid).as("nsid"))
       }: _*)
-      val cells = emb
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding"),
-                (-array_max(seedScores(col("embedding"))).getField("nsid")).as("cell"))
+      emb.select(col("vec_id"), col("embedding"),
+        (-array_max(seedScores(col("embedding"))).getField("nsid")).as("cell"))
+    } else {
+      val seedsDf = broadcast(Tables(s, dir).embeddings
+        .filter(col("vec_id") < nSeeds)
+        .select(col("vec_id").cast("int").as("seed_id"), col("embedding").as("s_emb")))
+      val best = emb.crossJoin(seedsDf)
+        .select(col("vec_id"),
+          struct(Similarity.cosine(col("embedding"), col("s_emb")).as("cos"),
+            (-col("seed_id")).as("nsid")).as("sc"))
+        .groupBy(col("vec_id")).agg(max(col("sc")).as("best"))
+        .select(col("vec_id"), (-col("best.nsid")).as("cell"))
+      emb.join(best, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-dup pruning inside
+    * coarse embedding cells. Vectors are assigned to nearest-seed cells
+    * by the [[semdedupCells]] argmax (the q75 IVF projection), then
+    * pairwise cosine runs ONLY within a cell (a < b), and a vector is
+    * dropped when any smaller-id cellmate scores >= tau — the
+    * deterministic greedy keep-first rule. Output: every vector with its
+    * cell, the count of shadowing smaller-id neighbors, and the kept
+    * flag (never empty, unlike the dropped set alone). Within-cell
+    * pairing is the whole scale design: cost is sum(cell²), and the cell
+    * count GROWS WITH THE CORPUS — nSeeds = max(8, ceil(N/128)) from a
+    * metadata-only count, so expected occupancy stays ~128 and the
+    * quadratic term never sees the full corpus (SemdedupSpec asserts the
+    * occupancy bound; the oracle derives the same seed count from
+    * count(*)). Cosines fold sequentially in double on both engines
+    * ([[Similarity.dot]] native expression vs DuckDB's list fold), so
+    * the tau filter sees identical bits and needs no rounding tolerance.
+    * tau = 0.35 is tuned to this corpus's within-cell cosine spread (max
+    * pair ~0.47, median ~0). */
+  val q227Semdedup: QueryDef = QueryDef(
+    "q227_semdedup",
+    (s, dir) => {
+      val tau = 0.35
+      // metadata-only parquet count — the one driver-side scalar that
+      // sizes the cell grid
+      val nVec = Tables(s, dir).embeddings.count()
+      val nSeeds = semdedupSeeds(nVec)
+      val cells = semdedupCells(s, dir, nSeeds)
       val shadows = cells.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
         .join(cells.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("e_b")),
               Seq("cell"))
@@ -114,8 +160,12 @@ object RefineOps {
                 coalesce(col("n_shadows"), lit(0L)).as("n_shadows"))
         .withColumn("kept", col("n_shadows") === 0L)
     },
-    Some("""WITH seeds AS (
-        SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings WHERE vec_id < 8),
+    Some("""WITH nseeds AS (
+        SELECT GREATEST(8, CAST(ceil(COUNT(*) / 128.0) AS BIGINT)) AS k
+        FROM embeddings),
+      seeds AS (
+        SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
+        WHERE vec_id < (SELECT k FROM nseeds)),
       cos_seed AS (
         SELECT e.vec_id, s.seed_id,
           list_sum(list_transform(list_zip(e.embedding, s.s_emb),

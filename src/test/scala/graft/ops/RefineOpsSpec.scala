@@ -47,6 +47,41 @@ class RefineOpsSpec extends SparkTestBase {
     assert(out.exists(!_._3), "no vector dropped at this tau — gate is inert")
   }
 
+  test("semdedup: literal and broadcast-join cell paths agree exactly, at fixture and scaled seed counts") {
+    // the gated fixtures run the <=64-seed literal path; the join path is
+    // what a 100 TB corpus runs. Prove identical assignment for both the
+    // fixture's seed count and a larger one that only the join path serves.
+    for (nSeeds <- Seq(RefineOps.semdedupSeeds(500), 80)) {
+      val lit = RefineOps.semdedupCells(spark, sfDir, nSeeds, forceJoinPath = false)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+      val join = RefineOps.semdedupCells(spark, sfDir, nSeeds, forceJoinPath = true)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+      assert(lit.size == join.size && lit.size == 500)
+      lit.foreach { case (id, c) =>
+        assert(join(id) == c, s"vec $id: literal cell $c vs join cell ${join(id)} at nSeeds=$nSeeds")
+      }
+    }
+  }
+
+  test("semdedup: seed count scales with the corpus and occupancy stays within the skew bound") {
+    assert(RefineOps.semdedupSeeds(500) == 8)     // fixture floor
+    assert(RefineOps.semdedupSeeds(2000) == 16)   // sf0.1 already scales
+    assert(RefineOps.semdedupSeeds(200000) == 1563) // the sf10 grid
+    // nearest-seed assignment is not perfectly balanced; the quadratic
+    // stage budget assumes occupancy = O(targetCellSize). Pin the skew
+    // factor the fixture exhibits so a regression (all mass in one cell)
+    // fails loudly rather than silently reintroducing N² work.
+    val nVec = 500L
+    val occ = RefineOps.semdedupCells(spark, sfDir, RefineOps.semdedupSeeds(nVec))
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    val expected = nVec.toDouble / RefineOps.semdedupSeeds(nVec)
+    assert(occ.max <= (4 * expected).ceil.toLong,
+      s"max cell ${occ.max} exceeds 4x expected occupancy $expected")
+    assert(occ.length == RefineOps.semdedupSeeds(nVec), "empty cells at the fixture seed count")
+  }
+
   test("k-core: 4-round peel is an upper bound containing the true 3-core, tight when converged") {
     val out = RefineOps.q228Kcore.fn(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("part"), r.getAs[Boolean]("survived"))).toMap
