@@ -420,6 +420,88 @@ case class SimhashSig(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimhashSig = copy(child = c)
 }
 
+/** Order-exact DECIMAL(28,14) squared L2 distance between two
+  * array<double> columns — a codegen replacement for the interpreted
+  * `aggregate(zip_with(a, b, (x,y) -> cast(round((x-y)*(x-y), 12) as
+  * decimal(28,14))), 0, +)` fold that q250/q251 price every
+  * corpus×centroid pair with (the "PQ exactness tax": per-term HALF_UP
+  * rounding at 12 dp then DECIMAL accumulation, so partition order can
+  * never flip an argmin and the DuckDB oracle ties bit-for-bit).
+  *
+  * The replicated semantics, step for step (verified against Spark's
+  * RoundBase/Cast bytecode):
+  *  - Round(double, 12) = BigDecimal.valueOf(d).setScale(12, HALF_UP)
+  *    .doubleValue() with NaN/Inf passthrough;
+  *  - Cast(double as decimal(28,14)) = BigDecimal.valueOf(d)
+  *    .setScale(14, HALF_UP) (NaN/Inf and precision overflow → null);
+  *  - zip_with length padding: unequal lengths or a null element null
+  *    the whole sum, exactly like the padded-null term did.
+  * Both eval and codegen call the same static [[DecimalSqDist.compute]],
+  * so the two paths cannot diverge. The win over the HOF form is the
+  * removal of per-element interpreted lambda dispatch and the zip_with
+  * array materialization — the BigDecimal arithmetic itself is the
+  * deliberate, oracle-tied cost that remains. */
+case class DecimalSqDist(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{DecimalType, Decimal}
+
+  override def dataType: DataType = DecimalType(28, 14)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"decimal_sqdist requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalSqDist.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.DecimalSqDist.compute($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DecimalSqDist =
+    copy(left = l, right = r)
+}
+
+object DecimalSqDist {
+  import org.apache.spark.sql.types.Decimal
+  private val ZERO14 = java.math.BigDecimal.ZERO.setScale(14)
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(a: ArrayData, b: ArrayData): Decimal = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null // zip_with pads null → null sum
+    var acc = ZERO14
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val diff = a.getDouble(i) - b.getDouble(i)
+      val sq = diff * diff
+      val r12 =
+        if (java.lang.Double.isNaN(sq) || java.lang.Double.isInfinite(sq)) sq
+        else java.math.BigDecimal.valueOf(sq)
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (java.lang.Double.isNaN(r12) || java.lang.Double.isInfinite(r12))
+        return null // cast(NaN/Inf as decimal) → null
+      acc = acc.add(java.math.BigDecimal.valueOf(r12)
+        .setScale(14, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    if (acc.precision > 28) return null // decimal(28,14) overflow → null
+    Decimal(acc)
+  }
+}
+
 object VectorFunctions {
   /** Column-level API for [[VectorDot]]. */
   def vector_dot(a: Column, b: Column): Column =
@@ -449,6 +531,10 @@ object VectorFunctions {
 
   def vector_lsh_bits(v: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(VectorLshBits(ColumnBridge.expression(v), planes))
+
+  /** Column-level API for [[DecimalSqDist]]. */
+  def decimal_sqdist(a: Column, b: Column): Column =
+    ColumnBridge.column(DecimalSqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column-level API for [[MinhashSig]]. */
   def minhash_sig(hashedShingles: Column, k: Int): Column =

@@ -311,6 +311,103 @@ object GraphAnalytics {
         UNION ALL SELECT c FROM tri)
       GROUP BY 1"""))
 
+  /** Degree-capped triangle counting — the documented q111 mitigation for
+    * catalog-fixed scaling, now in code. Under ScaleGen's convention the
+    * part catalog is fixed while orders grow, so co-purchase degrees grow
+    * ~linearly with SF and q111's wedge volume (even degree-oriented,
+    * O(m^1.5)) outgrows any one machine: sf10 measured ~2,400 median
+    * degree on 20k vertices — a near-complete graph whose exact triangle
+    * count is neither computable in the sandbox nor interesting. The
+    * standard production answer (cap hub degrees): keep each vertex's
+    * `cap` lowest-id neighbors, keep an edge only when it survives in
+    * BOTH endpoints' capped lists (so the capped graph is well-defined
+    * and symmetric), and count EXACTLY on that graph — wedges are bounded
+    * by N·cap² at any scale. The report states what was excluded: edge
+    * counts before/after and an upper bound on lost triangles
+    * (Σ over dropped edges of min(deg_u, deg_v) − 1 common-neighbor
+    * slots; a lost triangle has ≥ 1 dropped edge, so the sum dominates
+    * the true loss — GraphAnalyticsSpec asserts the bound against the
+    * uncapped q111 count). cap = 8 binds on the sf0.01 gate fixture
+    * (max degree 15) so the oracle exercises the capping path, and keeps
+    * the sf10 near-complete graph at ~N·32 wedges. */
+  val q338CappedTriangles: QueryDef = QueryDef(
+    "q338_capped_triangles",
+    (s, dir) => {
+      val cap = 8
+      val li = Tables(s, dir).lineitem
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("x"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("y"))
+      val edges = a.join(b, "ok").filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("x"), col("y"))
+        .localCheckpoint() // reused: ranking, degrees, the drop audit
+      val adj = edges.select(col("x").as("v"), col("y").as("n"))
+        .unionAll(edges.select(col("y").as("v"), col("x").as("n")))
+      val ranked = adj.withColumn("rk",
+        row_number().over(Window.partitionBy(col("v")).orderBy(col("n"))))
+        .localCheckpoint()
+      val deg = ranked.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keptDir = ranked.filter(col("rk") <= cap).select(col("v"), col("n"))
+      // symmetric survival: (x,y) kept iff y is in x's capped list AND
+      // x is in y's — a semi join of the two directed halves
+      val kept = keptDir.filter(col("v") < col("n"))
+        .select(col("v").as("x"), col("n").as("y"))
+        .join(keptDir.filter(col("v") > col("n"))
+          .select(col("n").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+        .localCheckpoint()
+      // id-oriented exact count on the capped graph: with per-vertex
+      // adjacency ≤ cap the wedge frame is ≤ N·cap²/2 rows at ANY scale —
+      // no degree orientation needed
+      val wedges = kept.select(col("x").as("a"), col("y").as("b"))
+        .join(kept.select(col("x").as("a"), col("y").as("c")), "a")
+        .filter(col("b") < col("c"))
+      val tris = wedges.join(kept.select(col("x").as("b"), col("y").as("c")), Seq("b", "c"))
+      val perV = tris.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+        .groupBy(col("part_id")).agg(count(lit(1)).as("n_triangles"))
+      val dropped = edges.join(kept, Seq("x", "y"), "left_anti")
+      val bound = dropped
+        .join(deg.select(col("v").as("x"), col("deg").as("dx")), "x")
+        .join(deg.select(col("v").as("y"), col("deg").as("dy")), "y")
+        .agg(count(lit(1)).as("n_edges_dropped"),
+          coalesce(sum(least(col("dx"), col("dy")) - 1), lit(0L)).as("excluded_bound"))
+      perV
+        .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_edges_kept"))))
+        .crossJoin(broadcast(bound))
+    },
+    Some("""WITH e AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      adj AS (SELECT x AS v, y AS n FROM e UNION ALL SELECT y, x FROM e),
+      ranked AS (SELECT v, n,
+          ROW_NUMBER() OVER (PARTITION BY v ORDER BY n) AS rk FROM adj),
+      deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY 1),
+      keptdir AS (SELECT v, n FROM ranked WHERE rk <= 8),
+      kept AS (SELECT k1.v AS x, k1.n AS y FROM keptdir k1
+        JOIN keptdir k2 ON k2.v = k1.n AND k2.n = k1.v
+        WHERE k1.v < k1.n),
+      tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM kept e1 JOIN kept e2 ON e1.x = e2.x AND e1.y < e2.y
+        JOIN kept e3 ON e3.x = e1.y AND e3.y = e2.y),
+      perv AS (SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS part_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY 1),
+      dropped AS (SELECT e.x, e.y FROM e
+        LEFT JOIN kept k ON k.x = e.x AND k.y = e.y WHERE k.x IS NULL),
+      db AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_dropped,
+          CAST(COALESCE(SUM(LEAST(dx.d, dy.d) - 1), 0) AS BIGINT) AS excluded_bound
+        FROM dropped JOIN deg dx ON dx.v = dropped.x
+                     JOIN deg dy ON dy.v = dropped.y)
+      SELECT part_id, n_triangles,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_edges_kept,
+        n_edges_dropped, excluded_bound
+      FROM perv CROSS JOIN db"""))
+
   val all: Seq[QueryDef] = Seq(q101Pagerank, q102CriticalPath,
-    q103DegreeProfile, q104RrfFusion, q111TriangleCount)
+    q103DegreeProfile, q104RrfFusion, q111TriangleCount, q338CappedTriangles)
 }

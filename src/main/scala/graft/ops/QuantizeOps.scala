@@ -37,12 +37,12 @@ object QuantizeOps {
   /** Squared L2 between two array<double> columns as an order-exact
     * DECIMAL: each term rounded at 12 dp, folded in array order — the
     * same value the oracle's dim-level DECIMAL SUM produces, because
-    * DECIMAL addition is order-free. */
-  private def sqDist(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) ->
-          cast(round((x - y) * (x - y), 12) as decimal(28,14))),
-        cast(0 as decimal(28,14)),
-        (acc, t) -> cast(acc + t as decimal(28,14)))""")
+    * DECIMAL addition is order-free. Was an interpreted
+    * `aggregate(zip_with(...))` HOF fold; now the codegen
+    * [[graft.functions.DecimalSqDist]] expression with bit-identical
+    * semantics (QuantizeOpsSpec pins the equivalence on real data). */
+  private def sqDist(a: String, b: String) =
+    graft.functions.VectorFunctions.decimal_sqdist(col(a), col(b))
 
   /** One Lloyd step of per-subspace k-means from the fixed seed vectors
     * (vec_id < 16 — each seed's subvector j seeds centroid j of every

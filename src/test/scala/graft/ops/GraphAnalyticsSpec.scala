@@ -83,4 +83,27 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(naive.values.sum > 0, "fixture graph must contain triangles")
     assert(byVertex == naive.toMap)
   }
+
+  test("q338: capped count is a per-vertex lower bound of q111 and the stated exclusion bound holds") {
+    // the sf0.01 fixture has max degree 15 so cap=8 actually binds; use it
+    val dir = "/root/testdata/sf0.01"
+    val capped = GraphAnalytics.q338CappedTriangles.fn(spark, dir).collect()
+    val full = GraphAnalytics.q111TriangleCount.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.nonEmpty, "capped graph lost every triangle — cap too aggressive for the fixture")
+    val nDropped = capped.head.getAs[Long]("n_edges_dropped")
+    val bound = capped.head.getAs[Long]("excluded_bound")
+    assert(nDropped > 0, "cap did not bind at sf0.01 — the capping path is untested")
+    // every capped triangle is a real triangle: per-vertex counts dominate
+    capped.foreach { r =>
+      val v = r.getAs[Long]("part_id"); val n = r.getAs[Long]("n_triangles")
+      assert(n <= full.getOrElse(v, 0L), s"vertex $v: capped $n > uncapped ${full.getOrElse(v, 0L)}")
+    }
+    // the stated bound dominates the true loss (triangle-incidence totals /3)
+    val cappedTotal = capped.map(_.getAs[Long]("n_triangles")).sum / 3
+    val fullTotal = full.values.sum / 3
+    assert(fullTotal - cappedTotal <= bound,
+      s"true loss ${fullTotal - cappedTotal} exceeds stated bound $bound")
+    assert(cappedTotal > 0, "no triangles survive the cap at sf0.01")
+  }
 }
