@@ -142,7 +142,16 @@ object Graft {
     * (unit-tested against each vendor's documented error shape), so a
     * deployment that brings its own driver can use `adapter: jdbc` with
     * that engine's URL — but that path is explicitly best-effort, not
-    * an advertised, integration-tested backend. */
+    * an advertised, integration-tested backend.
+    *
+    * Why no in-memory-H2 test leg (the cheap way to re-claim `h2`,
+    * mirroring the reference's test_utils matrix): this build resolves
+    * dependencies from an offline cache that carries no H2 artifact and
+    * has no network egress, so a TEST-scope com.h2database:h2 dependency
+    * cannot resolve here. The moment an H2 driver is on the classpath,
+    * running the shared JobStoreBehaviors suite against
+    * `jdbc:h2:mem:graft` is the intended (and sufficient) gate for
+    * re-adding the key. */
   private val jdbcAdapters = Set("jdbc", "derby")
 
   def store(config: GraftConfig): JobStore = {

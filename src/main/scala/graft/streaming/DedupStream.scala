@@ -99,4 +99,83 @@ object DedupStream {
           min(col("doc_id")).over(Window.partitionBy(col("band"), col("band_hash"))))
         .select(col("doc_id").as("docId"), col("band"),
                 col("band_hash").as("bandHash"), col("owner_id").as("ownerId")))
+
+  // ———— incremental (standing corpus + arrival batch) gate — q332's shape ————
+
+  /** Owner encoding that makes MIN respect arrival precedence: every
+    * standing-corpus doc precedes every streamed arrival regardless of id,
+    * so standing owners are stored as `id − 2⁴⁰` (ids are far below 2⁴⁰).
+    * min() then prefers any standing claimant, and among standing (or
+    * among batch) claimants the smallest id — exactly q332's contract. */
+  val StandingOffset: Long = 1L << 40
+
+  /** q332's incremental near-dup maintenance as a stream: the STANDING
+    * corpus's band index is built once (one batch aggregation — the
+    * checkpointed signature build of `ops/PrefOps.q332IncrementalDedup`)
+    * and loaded as the gate's INITIAL STATE; arrival docs stream through
+    * `flatMapGroupsWithState` probing and extending that index. The
+    * standing corpus never re-shuffles — precisely the incremental
+    * invariant q332 verifies in batch (FULL = STANDING ∪ BATCH-TOUCHING).
+    * Emitted `ownerId`s are encoded (see [[StandingOffset]]); roll up
+    * with [[incrementalDecisions]]. */
+  def incrementalGate(batchDocs: DataFrame, standingDocs: DataFrame,
+                      k: Int = 32, bands: Int = 16): Dataset[GateRow] = {
+    val spark = batchDocs.sparkSession
+    import spark.implicits._
+    val init = bandKeys(standingDocs, k, bands)
+      .groupBy(col("band"), col("band_hash"))
+      .agg((min(col("doc_id")) - StandingOffset).as("enc"))
+      .as[(Int, Long, Long)]
+      .groupByKey { case (b, h, _) => (b, h) }
+      .mapValues { case (_, _, enc) => enc }
+    bandKeys(batchDocs, k, bands)
+      .select(col("band"), col("band_hash"), col("doc_id"))
+      .as[(Int, Long, Long)]
+      .groupByKey { case (b, h, _) => (b, h) }
+      .flatMapGroupsWithState[Long, GateRow](
+          OutputMode.Append, GroupStateTimeout.NoTimeout, init) {
+        case (_, rows, state: GroupState[Long]) =>
+          var owner = state.getOption.getOrElse(Long.MaxValue)
+          val out = rows.toSeq.sortBy(_._3).map { case (b, h, d) =>
+            owner = math.min(owner, d)
+            GateRow(d, b, h, owner)
+          }
+          state.update(owner)
+          out.iterator
+      }
+  }
+
+  /** Per-doc rollup of [[incrementalGate]] rows: a batch doc is a near-dup
+    * candidate iff any of its band keys was already claimed — by the
+    * standing index or an earlier arrival. Decodes the owner encoding into
+    * (first_owner, owner_is_standing). */
+  def incrementalDecisions(gateRows: DataFrame): DataFrame =
+    gateRows.groupBy(col("docId").as("doc_id"))
+      .agg(max(when(col("ownerId") < col("docId"), 1).otherwise(0)).as("is_near_dup"),
+           min(when(col("ownerId") < col("docId"), col("ownerId"))).as("enc"))
+      .withColumn("owner_is_standing", when(col("enc").isNull, lit(null))
+        .otherwise(col("enc") < 0))
+      .withColumn("first_owner", when(col("enc").isNull, lit(null))
+        .otherwise(when(col("enc") < 0, col("enc") + StandingOffset).otherwise(col("enc"))))
+      .drop("enc")
+
+  /** Batch twin of [[incrementalGate]]: owner per band key = min encoded
+    * claimant over standing ∪ batch; a batch doc's at-arrival owner equals
+    * the final owner whenever that owner precedes it (min never rises), so
+    * final-owner decisions equal the stream's under in-id-order replay. */
+  def incrementalGateBatch(batchDocs: DataFrame, standingDocs: DataFrame,
+                           k: Int = 32, bands: Int = 16): DataFrame = {
+    val standing = bandKeys(standingDocs, k, bands)
+      .select(col("band"), col("band_hash"), lit(null).cast("long").as("doc_id"),
+        (col("doc_id") - StandingOffset).as("enc"))
+    val arriving = bandKeys(batchDocs, k, bands)
+      .select(col("band"), col("band_hash"), col("doc_id"),
+        col("doc_id").as("enc"))
+    incrementalDecisions(standing.unionByName(arriving)
+      .withColumn("owner_enc",
+        min(col("enc")).over(Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id").as("docId"), col("band"),
+              col("band_hash").as("bandHash"), col("owner_enc").as("ownerId")))
+  }
 }
