@@ -88,6 +88,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q324_safety_stock"        -> 3,   // 3-row service-level fan-out
     "q329_t_closeness"         -> 5,   // 5-row sensitive-marginal grid completion
     "q332_incremental_dedup"   -> 1,   // five 1-row count aggregates cross-joined
+    "q338_capped_triangles"    -> 1,   // three 1-row edge-count/bound aggregates cross-joined
     "q334_textrank_keywords"   -> 1,   // 1-row |V| broadcast per iteration
     "q337_kendall_tau"         -> 30,  // |brands|² pairing — dimension-bounded by contract
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
@@ -184,6 +185,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q324_safety_stock",       // 3-row z-level fan-out (the q213 idiom)
     "q329_t_closeness",        // 5-row priority-marginal grid fan-out
     "q332_incremental_dedup",  // 1-row pair-count aggregates cross-joined (the q217 idiom)
+    "q338_capped_triangles",   // 1-row edge-count/exclusion-bound aggregates cross-joined (the q217 idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
