@@ -91,6 +91,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q338_capped_triangles"    -> 1,   // three 1-row edge-count/bound aggregates cross-joined
     "q342_kcenter_seeding"     -> 6,   // <=6-row seed frame broadcast per pass (Gonzalez contract)
     "q343_poisson_bootstrap"   -> 1,   // two 1-row report aggregates cross-joined
+    "q345_kanon_lattice"       -> 27,  // 27-row lattice-level frame over the model-sized finest grid
+    "q346_loso_ablation"       -> 1,   // 1-row totals broadcast (complement arithmetic)
+    "q347_posting_compression" -> 1,   // 1-row corpus-doc-count broadcast
     "q334_textrank_keywords"   -> 1,   // 1-row |V| broadcast per iteration
     "q337_kendall_tau"         -> 30,  // |brands|² pairing — dimension-bounded by contract
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
@@ -190,6 +193,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q338_capped_triangles",   // 1-row edge-count/exclusion-bound aggregates cross-joined (the q217 idiom)
     "q342_kcenter_seeding",    // <=6-row seed-frame broadcast — k-center's whole design (the q172 model-pool idiom)
     "q343_poisson_bootstrap",  // 1-row point-estimate x 1-row replicate-stats report join (the q215 idiom)
+    "q345_kanon_lattice",      // 27-row lattice frame x model-sized finest grid (the q316 lattice idiom)
+    "q346_loso_ablation",      // 1-row totals broadcast — ablation by subtraction (the q56/q91 idiom)
+    "q347_posting_compression",// 1-row n_docs broadcast (the q56/q91 idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
