@@ -94,6 +94,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q345_kanon_lattice"       -> 27,  // 27-row lattice-level frame over the model-sized finest grid
     "q346_loso_ablation"       -> 1,   // 1-row totals broadcast (complement arithmetic)
     "q347_posting_compression" -> 1,   // 1-row corpus-doc-count broadcast
+    "q348_threshold_audit"     -> 5,   // 5-row depth sweep over the depth-bounded candidate set
+    "q350_hill_tail"           -> 3,   // 3-row k sweep over the 201-row ordered prefix
     "q334_textrank_keywords"   -> 1,   // 1-row |V| broadcast per iteration
     "q337_kendall_tau"         -> 30,  // |brands|² pairing — dimension-bounded by contract
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
@@ -196,6 +198,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q345_kanon_lattice",      // 27-row lattice frame x model-sized finest grid (the q316 lattice idiom)
     "q346_loso_ablation",      // 1-row totals broadcast — ablation by subtraction (the q56/q91 idiom)
     "q347_posting_compression",// 1-row n_docs broadcast (the q56/q91 idiom)
+    "q348_threshold_audit",    // 5-row depth sweep x depth-bounded candidates (the q213 sweep idiom)
+    "q350_hill_tail",          // 3-row k sweep x 201-row prefix (the q213 sweep idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
