@@ -99,6 +99,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q352_sprt"                -> 1,   // 1-row (p0, p1) baseline broadcast over the daily frame
     "q353_blocking_quality"    -> 1,   // 1-row n_docs/n_truth/cand/covered aggregates cross-joined
     "q355_context_gain"        -> 1,   // 1-row corpus token total broadcast (the q56/q91 idiom)
+    "q357_stopword_divergence" -> 10,  // 10-word grid completion + 1-row corpus-total broadcast
     "q334_textrank_keywords"   -> 1,   // 1-row |V| broadcast per iteration
     "q337_kendall_tau"         -> 30,  // |brands|² pairing — dimension-bounded by contract
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
@@ -206,6 +207,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q352_sprt",               // 1-row baseline-rate broadcast (the q149 horizon idiom)
     "q353_blocking_quality",   // 1-row count aggregates cross-joined per scheme (the q217 idiom)
     "q355_context_gain",       // 1-row corpus-total broadcast (the q56/q91 idiom)
+    "q357_stopword_divergence",// 10-row stopword grid + 1-row total (the q329 grid idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
