@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
       (exprs: Seq[Expression]) => ZInterleave(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (exprs: Seq[Expression]) => HilbertIndex(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))

@@ -592,6 +592,8 @@ object VectorFunctions {
       exprs => SimhashSig(exprs(0)))
     ColumnBridge.registerFunction(spark, "z_interleave",
       exprs => ZInterleave(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "hilbert_index",
+      exprs => HilbertIndex(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "cms_estimate",

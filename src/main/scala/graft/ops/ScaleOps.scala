@@ -213,6 +213,78 @@ object ScaleOps {
         MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
       FROM z GROUP BY 1"""))
 
+  /** Hilbert-vs-Z-order layout shoot-out on the same (l_partkey,
+    * l_suppkey) grid as q110: each curve's values are cut into 256 equal
+    * ranges (≈ files of a curve-sorted writer) and the per-file bounding
+    * boxes measured — avg/max box area is exactly what min/max file
+    * statistics prune against, so a smaller average box = fewer files
+    * touched by a 2D range predicate. The Hilbert index is the
+    * [[graft.functions.HilbertIndex]] codegen expression (no diagonal
+    * jumps → tighter boxes than Morton; the spec asserts the win, the
+    * BASELINE rows quantify it); the oracle replays the identical
+    * quadrant walk as 16 chained CTEs. Per layout: one scan + one
+    * 256-group aggregate; box-area sums are exact integers, the final
+    * average is one division. At 100 TB this query IS the layout
+    * decision — run it on a sample, pick the curve, sort-write once. */
+  val q363HilbertLayout: QueryDef = QueryDef(
+    "q363_hilbert_layout",
+    (s, dir) => {
+      val keyed = Tables(s, dir).lineitem
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.functions.LayoutFunctions
+            .z_interleave(col("l_partkey"), col("l_suppkey")).as("zc"),
+          graft.functions.LayoutFunctions
+            .hilbert_index(col("l_partkey"), col("l_suppkey")).as("hc"))
+        .localCheckpoint() // two curve audits share one scan
+      def audit(curve: String, label: String): DataFrame = {
+        val cMax = keyed.agg(max(col(curve))).head().getLong(0)
+        keyed
+          .groupBy(expr(s"CAST($curve * 256 DIV ${cMax + 1} AS BIGINT)").as("bkt"))
+          .agg(count(lit(1)).as("n_rows"),
+            (max(col("l_partkey")) - min(col("l_partkey")) + 1L)
+              .as("pk_span"),
+            (max(col("l_suppkey")) - min(col("l_suppkey")) + 1L)
+              .as("sk_span"))
+          .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+            sum(col("pk_span") * col("sk_span")).as("area_sum"),
+            max(col("pk_span") * col("sk_span")).as("area_max"))
+          .select(lit(label).as("layout"), col("n_files"), col("n_rows"),
+            round(col("area_sum").cast("double") / col("n_files"), 4)
+              .as("avg_box_area"),
+            col("area_max").as("max_box_area"))
+      }
+      audit("hc", "hilbert").unionByName(audit("zc", "zorder"))
+        .orderBy(col("layout"))
+    },
+    Some(s"""WITH base AS (SELECT l_partkey, l_suppkey,
+        ${graft.functions.LayoutFunctions.zInterleaveSql("l_partkey", "l_suppkey")} AS zc,
+        (l_partkey & 65535) AS x, (l_suppkey & 65535) AS y, 0::BIGINT AS d
+      FROM lineitem),
+      ${graft.functions.LayoutFunctions.hilbertSqlCtes("h",
+        "base", Seq("l_partkey", "l_suppkey", "zc"))},
+      keyed AS (SELECT l_partkey, l_suppkey, zc, d AS hc FROM h16),
+      hb AS (SELECT CAST(hc * 256 // ((SELECT MAX(hc) FROM keyed) + 1) AS BIGINT) AS bkt,
+          COUNT(*) AS n_rows,
+          MAX(l_partkey) - MIN(l_partkey) + 1 AS pk_span,
+          MAX(l_suppkey) - MIN(l_suppkey) + 1 AS sk_span
+        FROM keyed GROUP BY 1),
+      zb AS (SELECT CAST(zc * 256 // ((SELECT MAX(zc) FROM keyed) + 1) AS BIGINT) AS bkt,
+          COUNT(*) AS n_rows,
+          MAX(l_partkey) - MIN(l_partkey) + 1 AS pk_span,
+          MAX(l_suppkey) - MIN(l_suppkey) + 1 AS sk_span
+        FROM keyed GROUP BY 1)
+      SELECT 'hilbert' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        round(CAST(SUM(pk_span * sk_span) AS DOUBLE) / COUNT(*), 4) AS avg_box_area,
+        CAST(MAX(pk_span * sk_span) AS BIGINT) AS max_box_area
+      FROM hb
+      UNION ALL
+      SELECT 'zorder', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_rows) AS BIGINT),
+        round(CAST(SUM(pk_span * sk_span) AS DOUBLE) / COUNT(*), 4),
+        CAST(MAX(pk_span * sk_span) AS BIGINT)
+      FROM zb
+      ORDER BY layout"""))
+
   /** Incremental aggregate maintenance (materialized-view refresh): the
     * stored view holds per-priority totals for history (< 1999-01-01);
     * the refresh aggregates ONLY the delta partition and folds it into
@@ -298,5 +370,5 @@ object ScaleOps {
 
   val all: Seq[QueryDef] =
     Seq(q105SaltedSkewAgg, q106SnapshotDiff, q107Expectations, q108Scd2Intervals,
-        q110ZorderLayout, q113IncrementalAgg, q123ComplianceDelete)
+        q110ZorderLayout, q363HilbertLayout, q113IncrementalAgg, q123ComplianceDelete)
 }
