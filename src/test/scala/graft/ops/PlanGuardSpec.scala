@@ -102,6 +102,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q357_stopword_divergence" -> 10,  // 10-word grid completion + 1-row corpus-total broadcast
     "q360_brier_decomposition" -> 10,  // 10-row bin frame x 1-row decomposition report (build side is the bins)
     "q364_bcubed_dedup_eval"   -> 1,   // 1-row cluster-count x 1-row P/R-sum report join (the q215 idiom)
+    "q366_data_knapsack"       -> 24,  // |sources| flagged frame is the build side vs the 1-row LP report
+    "q367_pinball_eval"        -> 3,   // 3-row tau fan-out against the model-half ranks
     "q334_textrank_keywords"   -> 1,   // 1-row |V| broadcast per iteration
     "q337_kendall_tau"         -> 30,  // |brands|² pairing — dimension-bounded by contract
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
@@ -212,6 +214,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q357_stopword_divergence",// 10-row stopword grid + 1-row total (the q329 grid idiom)
     "q360_brier_decomposition",// 1-row totals x 1-row report join (the q215 idiom)
     "q364_bcubed_dedup_eval",  // 1-row totals x 1-row averages report join (the q215 idiom)
+    "q366_data_knapsack",      // 1-row budget + 1-row LP report broadcasts (the q217 idiom)
+    "q367_pinball_eval",       // 3-row tau sweep (the q213 sweep idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
