@@ -104,6 +104,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q364_bcubed_dedup_eval"   -> 1,   // 1-row cluster-count x 1-row P/R-sum report join (the q215 idiom)
     "q366_data_knapsack"       -> 24,  // |sources| flagged frame is the build side vs the 1-row LP report
     "q367_pinball_eval"        -> 3,   // 3-row tau fan-out against the model-half ranks
+    "q369_cka_redundancy"      -> 1,   // three 1-row Frobenius-mass reports cross-joined
+    "q371_dp_exp_median"       -> 1,   // 1-row total + 1-row partition-function broadcasts
     "q334_textrank_keywords"   -> 1,   // 1-row |V| broadcast per iteration
     "q337_kendall_tau"         -> 30,  // |brands|² pairing — dimension-bounded by contract
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
@@ -216,6 +218,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q364_bcubed_dedup_eval",  // 1-row totals x 1-row averages report join (the q215 idiom)
     "q366_data_knapsack",      // 1-row budget + 1-row LP report broadcasts (the q217 idiom)
     "q367_pinball_eval",       // 3-row tau sweep (the q213 sweep idiom)
+    "q369_cka_redundancy",     // 1-row mass reports cross-joined (the q217 idiom)
+    "q371_dp_exp_median",      // 1-row n / Z broadcasts over the 32-row candidate frame (the q56 idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
