@@ -222,6 +222,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q371_dp_exp_median",      // 1-row n / Z broadcasts over the 32-row candidate frame (the q56 idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
+  // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
+  // needs no exemption: the values frame is localCheckpoint'd before the
+  // rank passes, so the final plan sees no join shape (q253's case below).
   // q253_matryoshka_recall broadcasts its 5-query pool (the q30 idiom) but
   // needs no exemption: its eager localCheckpoint truncates the final plan
   // before the overlap join, so the scan sees no join shape (q230's case).
