@@ -119,15 +119,20 @@ object LabelQualityOps {
           round(col("sdi") + col("sdj") - lit(2.0) *
             graft.functions.VectorFunctions.vector_dot(col("vi"), col("vj")), 9)
             .as("dist"))
-        .localCheckpoint() // feeds kdist, neighborhoods, and the lrd join
+      // NOT checkpointed: the pair frame is |class|²-sized (250M rows at
+      // sf1) and materializing it cost more than recomputing the codegen
+      // dot join for its two consumers; the small frames below are the
+      // ones worth pinning
       val kd = d
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("i")).orderBy(col("dist"), col("j"))))
         .filter(col("rn") === 5)
         .select(col("i"), col("dist").as("kdist"))
+        .localCheckpoint() // n rows; reused three times
       // tie-inclusive neighborhood: every j with d(i,j) <= kdist(i)
       val nbr = d.join(kd, Seq("i")).filter(col("dist") <= col("kdist"))
         .select(col("i"), col("j"), col("dist"), col("label"))
+        .localCheckpoint() // ~k·n rows; feeds lrd and the lof join
       val lrd = nbr
         .join(kd.select(col("i").as("j"), col("kdist").as("kdist_j")), Seq("j"))
         .groupBy(col("i"), col("label"))
