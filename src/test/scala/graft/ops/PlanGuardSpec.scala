@@ -112,6 +112,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q378_scaling_law"         -> 5,   // 5-row slice frame x 1-row fit/held-total/full-token reports
     "q381_llr_collocations"    -> 1,   // 1-row bigram-total broadcast (the q56 idiom)
     "q382_logrank_test"        -> 1,   // 1-row cohort-totals broadcast over the time spine
+    "q383_ps_stratification"   -> 35,  // |strata| frame x 1-row ATE/ATT report (the q215 idiom)
+    "q384_power_planner"       -> 10,  // 10-row lift grid x 1-row base-rate broadcast
     "q334_textrank_keywords"   -> 1,   // 1-row |V| broadcast per iteration
     "q337_kendall_tau"         -> 30,  // |brands|² pairing — dimension-bounded by contract
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
@@ -232,6 +234,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q378_scaling_law",        // 1-row held-total/fit broadcasts over the 5-slice frame (the q217 idiom)
     "q381_llr_collocations",   // 1-row N broadcast into the G2 cells (the q56 idiom)
     "q382_logrank_test",       // 1-row (n1, n2) totals broadcast over the time spine (the q56 idiom)
+    "q383_ps_stratification",  // 1-row ATE/ATT report over the |strata| frame (the q217 idiom)
+    "q384_power_planner",      // 10-row lift fan-out x 1-row rates (the q213 sweep idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
