@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** BPE-training wave: ten greedy byte-pair-encoding merges trained and
+  * applied INSIDE the engine — the full Sennrich et al. 2016 training
+  * loop (count adjacent symbol pairs over weighted word types, merge
+  * the argmax, repeat), not just q190's one-shot pair census.
+  *
+  * Scale shape: BPE trains on word TYPES weighted by frequency, so
+  * after the initial token count the working frame is vocab-bounded —
+  * ten rounds of (pair census → 1-row argmax → regexp merge) over a
+  * ~|vocab|-row frame, localCheckpoint per round (the q21 discipline),
+  * with the argmax a driver-bounded 1-row action (the q342 idiom).
+  */
+object BpeOps {
+
+  private val Rounds = 10
+
+  /** Greedy BPE merge trace: each word type becomes a comma-delimited
+    * symbol string (',h,e,l,l,o,'), each round counts adjacent symbol
+    * pairs weighted by word frequency, merges the (count desc, pair
+    * asc) argmax corpus-wide via one regexp_replace (leftmost
+    * non-overlapping in both engines — the BPE convention), and
+    * reports the shrinking total symbol count. The compression curve
+    * IS the tokenizer-quality signal: steep early merges = productive
+    * vocabulary. All metrics are exact integers; the oracle unrolls
+    * the identical ten rounds as generated MATERIALIZED CTEs (the q380
+    * pattern) with the argmax as scalar subqueries. */
+  val q385BpeTrain: QueryDef = QueryDef(
+    "q385_bpe_train",
+    (s, dir) => {
+      var words = Tables(s, dir).documents
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .select(concat(lit(","),
+          regexp_replace(col("tok"), "(.)", "$1,")).as("str"), col("c"))
+        .localCheckpoint()
+      def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("arr", split(col("str"), ","))
+        .filter(size(col("arr")) >= 4)
+        .select(col("c"), explode(expr(
+          """transform(sequence(2, size(arr) - 2),
+               i -> struct(element_at(arr, i) AS x, element_at(arr, i + 1) AS y))"""))
+          .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("c")).as("cnt"))
+      def totalSymbols(df: org.apache.spark.sql.DataFrame): Long = df
+        .select(sum((size(split(col("str"), ",")) - 2) * col("c"))).head().getLong(0)
+      val trace = (1 to Rounds).map { r =>
+        val top = pairCounts(words)
+          .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+          .limit(1).head()
+        val (x, y, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        words = words
+          .select(regexp_replace(col("str"), s",$x,$y,", s",$x$y,").as("str"), col("c"))
+          .groupBy(col("str")).agg(sum(col("c")).as("c"))
+          .localCheckpoint() // the q21 per-round discipline
+        (r.toLong, s"$x+$y", cnt, totalSymbols(words))
+      }
+      s.createDataFrame(trace)
+        .toDF("merge_round", "merged_pair", "pair_count", "symbols_after")
+        .orderBy(col("merge_round"))
+    },
+    Some {
+      val rounds = (1 to Rounds).map { r =>
+        val prev = if (r == 1) "w0" else s"w${r - 1}"
+        s"""pc$r AS MATERIALIZED (SELECT p.u.x AS x, p.u.y AS y, CAST(SUM(c) AS BIGINT) AS cnt
+           |  FROM (SELECT c, string_split(str, ',') AS arr FROM $prev) a,
+           |    UNNEST(list_transform(range(2, len(arr) - 1),
+           |      i -> {'x': arr[i], 'y': arr[i + 1]})) AS p(u)
+           |  GROUP BY 1, 2),
+           |t$r AS MATERIALIZED (SELECT x, y, cnt,
+           |    ',' || x || ',' || y || ',' AS pat, ',' || x || y || ',' AS rep
+           |  FROM pc$r ORDER BY cnt DESC, x, y LIMIT 1),
+           |w$r AS MATERIALIZED (SELECT
+           |    regexp_replace(str, (SELECT pat FROM t$r), (SELECT rep FROM t$r), 'g') AS str,
+           |    CAST(SUM(c) AS BIGINT) AS c
+           |  FROM $prev GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val traceRows = (1 to Rounds).map { r =>
+        s"""SELECT ${r}::BIGINT AS merge_round,
+           |  (SELECT x || '+' || y FROM t$r) AS merged_pair,
+           |  (SELECT cnt FROM t$r) AS pair_count,
+           |  (SELECT CAST(SUM((len(string_split(str, ',')) - 2) * c) AS BIGINT)
+           |     FROM w$r) AS symbols_after""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS MATERIALIZED (SELECT
+         |    ',' || regexp_replace(tok, '(.)', '\\1,', 'g') AS str,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '\\w+')) AS tok
+         |        FROM documents)
+         |  GROUP BY 1),
+         |$rounds
+         |$traceRows
+         |ORDER BY merge_round""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(q385BpeTrain)
+}
