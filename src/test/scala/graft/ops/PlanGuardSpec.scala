@@ -114,6 +114,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q382_logrank_test"        -> 1,   // 1-row cohort-totals broadcast over the time spine
     "q383_ps_stratification"   -> 35,  // |strata| frame x 1-row ATE/ATT report (the q215 idiom)
     "q384_power_planner"       -> 10,  // 10-row lift grid x 1-row base-rate broadcast
+    "q387_shard_quantile_merge" -> 128, // 4x32 boundary summary joined to the 5-probe frame
     "q334_textrank_keywords"   -> 1,   // 1-row |V| broadcast per iteration
     "q337_kendall_tau"         -> 30,  // |brands|² pairing — dimension-bounded by contract
     "q320_cascade_recall"      -> 3,   // 3-row budget sweep + q91's 1-row stats
@@ -236,6 +237,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q382_logrank_test",       // 1-row (n1, n2) totals broadcast over the time spine (the q56 idiom)
     "q383_ps_stratification",  // 1-row ATE/ATT report over the |strata| frame (the q217 idiom)
     "q384_power_planner",      // 10-row lift fan-out x 1-row rates (the q213 sweep idiom)
+    "q387_shard_quantile_merge",// 128-row merged summary x 5 probes (the q307 histogram idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
