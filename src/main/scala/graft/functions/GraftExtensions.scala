@@ -70,6 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("multi_contains"),
+      new ExpressionInfo(classOf[MultiContains].getName, "multi_contains"),
+      (exprs: Seq[Expression]) => MultiContains(exprs(0),
+        GraftExtensions.foldableStringArray(exprs(1),
+          "multi_contains(text, patterns)"))))
+    e.injectFunction((
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
@@ -84,6 +90,18 @@ object GraftExtensions {
     import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
     Divide(VectorDot(a, b),
       Multiply(Sqrt(VectorDot(a, a)), Sqrt(VectorDot(b, b))))
+  }
+
+  private[functions] def foldableStringArray(
+      e: Expression, usage: String): Array[String] = {
+    require(e.foldable, s"$usage: patterns must be a literal array of strings")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString)
+      case other => throw new IllegalArgumentException(
+        s"$usage: patterns must be array<string>, got $other")
+    }
   }
 
   private[functions] def foldableInt(e: Expression, usage: String): Int = {

@@ -598,5 +598,9 @@ object VectorFunctions {
       exprs => SortedIntersectCount(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "cms_estimate",
       exprs => CmsEstimate(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "multi_contains",
+      exprs => MultiContains(exprs(0),
+        GraftExtensions.foldableStringArray(exprs(1),
+          "multi_contains(text, patterns)")))
   }
 }
