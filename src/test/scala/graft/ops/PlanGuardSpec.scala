@@ -122,6 +122,8 @@ class PlanGuardSpec extends SparkTestBase {
     // quadratic yardsticks: the broadcast side is bounded by contract —
     // q30 by the fixed query set, q55 by "the whole corpus fits a
     // broadcast or the yardstick is not viable" (sf0.001 here).
+    "q396_mondrian_conformal"  -> 1,   // 1-row pooled q-hat broadcast
+    "q399_quantile_regression" -> 9,   // tau × multiplier certificate grid
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -239,7 +241,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q384_power_planner",      // 10-row lift fan-out x 1-row rates (the q213 sweep idiom)
     "q387_shard_quantile_merge",// 128-row merged summary x 5 probes (the q307 histogram idiom)
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
-    "q337_kendall_tau")        // |brands|-row pairing frame (the q153 model-sized idiom)
+    "q337_kendall_tau",        // |brands|-row pairing frame (the q153 model-sized idiom)
+    "q396_mondrian_conformal", // 1-row pooled-q̂ broadcast (the q243 idiom; segment q̂ rides a hash join)
+    "q399_quantile_regression") // 3-row tau sweep + 9-row (tau × ±1%) certificate fan-out (the q367 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
