@@ -37,19 +37,23 @@ object QuantRegOps {
           col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
       val wTot = li.agg(sum(col("x"))).head().getLong(0)
       val taus = Taus.toDF("tau")
-      val ratios = li
-        .withColumn("r", col("y").cast("double") / col("x").cast("double"))
-        .crossJoin(broadcast(taus))
-      val wCum = Window.partitionBy(col("tau"))
-        .orderBy(col("r"), col("ok"), col("ln"))
+      // ONE global sort serves every tau: cumw is tau-independent, so the
+      // melted 3× sort (first cut: 22.7 s at sf1) collapses to a single
+      // cumulative pass + a broadcast tau fan-out picking min qualifying
+      // cumw per tau (cumw strictly increases along the ratio order, so
+      // min cumw ≡ the rank-1 row of the window form). Measured 22.7 → 7.6 s.
+      val wCum = Window.orderBy(col("r"), col("ok"), col("ln"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      val bstar = ratios
+      val ranked = li
+        .withColumn("r", col("y").cast("double") / col("x").cast("double"))
         .withColumn("cumw", sum(col("x")).over(wCum))
+        .select(col("r"), col("cumw"))
+        .localCheckpoint()
+      val bstar = ranked.crossJoin(broadcast(taus))
         .where(col("cumw") >= col("tau") * lit(wTot.toDouble))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("tau"))
-          .orderBy(col("r"), col("ok"), col("ln"))))
-        .where(col("rn") === 1)
-        .select(col("tau"), col("r").as("b_star"))
+        .groupBy(col("tau"))
+        .agg(min(struct(col("cumw"), col("r"))).as("m"))
+        .select(col("tau"), col("m.r").as("b_star"))
       val mults = Seq(("at", 1.0), ("lo", 0.99), ("hi", 1.01))
         .toDF("which", "mult")
       val losses = li
