@@ -124,6 +124,8 @@ class PlanGuardSpec extends SparkTestBase {
     // broadcast or the yardstick is not viable" (sf0.001 here).
     "q396_mondrian_conformal"  -> 1,   // 1-row pooled q-hat broadcast
     "q399_quantile_regression" -> 9,   // tau × multiplier certificate grid
+    "q404_fold_leakage"        -> 1,   // 1-row fold-balance report
+    "q406_quantile_effects"    -> 9,   // 9-row decile fan-out
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -243,7 +245,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q334_textrank_keywords",  // 1-row node-count broadcast (the q93 idiom)
     "q337_kendall_tau",        // |brands|-row pairing frame (the q153 model-sized idiom)
     "q396_mondrian_conformal", // 1-row pooled-q̂ broadcast (the q243 idiom; segment q̂ rides a hash join)
-    "q399_quantile_regression") // 3-row tau sweep + 9-row (tau × ±1%) certificate fan-out (the q367 idiom)
+    "q399_quantile_regression", // 3-row tau sweep + 9-row (tau × ±1%) certificate fan-out (the q367 idiom)
+    "q404_fold_leakage",       // 1-row fold-balance (fmax, fmin) report join (the q215 idiom)
+    "q406_quantile_effects")   // 9-row decile fan-out + 1-row median-sign broadcast (the q367 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
