@@ -126,6 +126,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q399_quantile_regression" -> 9,   // tau × multiplier certificate grid
     "q404_fold_leakage"        -> 1,   // 1-row fold-balance report
     "q406_quantile_effects"    -> 9,   // 9-row decile fan-out
+    "q408_trend_breakpoint"    -> 100, // calendar-bounded candidate frame (~76 interior months, fixed by the 7-year calendar)
+    "q414_species_richness"    -> 1,   // 1-row doc-count broadcast vs the 1-row census
+    "q415_grid_dbscan"         -> 9,   // 9-row neighbourhood-offset fan-out (stat/noise are 1-row)
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -247,7 +250,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q396_mondrian_conformal", // 1-row pooled-q̂ broadcast (the q243 idiom; segment q̂ rides a hash join)
     "q399_quantile_regression", // 3-row tau sweep + 9-row (tau × ±1%) certificate fan-out (the q367 idiom)
     "q404_fold_leakage",       // 1-row fold-balance (fmax, fmin) report join (the q215 idiom)
-    "q406_quantile_effects")   // 9-row decile fan-out + 1-row median-sign broadcast (the q367 idiom)
+    "q406_quantile_effects",   // 9-row decile fan-out + 1-row median-sign broadcast (the q367 idiom)
+    "q408_trend_breakpoint",   // calendar-bounded candidate×month melt (~84×76 at any SF) + 1-row fit report
+    "q414_species_richness",   // 1-row doc-count broadcast (the q56 idiom)
+    "q415_grid_dbscan")        // 9-row neighbourhood-offset fan-out + 1-row stat/noise reports
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
