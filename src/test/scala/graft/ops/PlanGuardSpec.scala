@@ -129,6 +129,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q408_trend_breakpoint"    -> 100, // calendar-bounded candidate frame (~76 interior months, fixed by the 7-year calendar)
     "q414_species_richness"    -> 1,   // 1-row doc-count broadcast vs the 1-row census
     "q415_grid_dbscan"         -> 9,   // 9-row neighbourhood-offset fan-out (stat/noise are 1-row)
+    "q417_theil_decomposition" -> 1,   // 1-row (mu, N) global broadcast
+    "q418_huber_irls"          -> 1,   // 1-row fit/scale broadcasts over the calendar spine
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -253,7 +255,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q406_quantile_effects",   // 9-row decile fan-out + 1-row median-sign broadcast (the q367 idiom)
     "q408_trend_breakpoint",   // calendar-bounded candidate×month melt (~84×76 at any SF) + 1-row fit report
     "q414_species_richness",   // 1-row doc-count broadcast (the q56 idiom)
-    "q415_grid_dbscan")        // 9-row neighbourhood-offset fan-out + 1-row stat/noise reports
+    "q415_grid_dbscan",        // 9-row neighbourhood-offset fan-out + 1-row stat/noise reports
+    "q417_theil_decomposition", // 1-row (mu, N) global broadcast (the q56 idiom)
+    "q418_huber_irls")         // 1-row fit + 1-row median-scale broadcasts per round (the q340 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
