@@ -131,6 +131,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q415_grid_dbscan"         -> 9,   // 9-row neighbourhood-offset fan-out (stat/noise are 1-row)
     "q417_theil_decomposition" -> 1,   // 1-row (mu, N) global broadcast
     "q418_huber_irls"          -> 1,   // 1-row fit/scale broadcasts over the calendar spine
+    "q421_kruskal_wallis"      -> 1,   // 1-row (N, tie-mass) broadcast
+    "q422_pettitt_changepoint" -> 1,   // 1-row argmax/means broadcasts
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -257,7 +259,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q414_species_richness",   // 1-row doc-count broadcast (the q56 idiom)
     "q415_grid_dbscan",        // 9-row neighbourhood-offset fan-out + 1-row stat/noise reports
     "q417_theil_decomposition", // 1-row (mu, N) global broadcast (the q56 idiom)
-    "q418_huber_irls")         // 1-row fit + 1-row median-scale broadcasts per round (the q340 idiom)
+    "q418_huber_irls",         // 1-row fit + 1-row median-scale broadcasts per round (the q340 idiom)
+    "q421_kruskal_wallis",     // 1-row (N, tie-mass) broadcast over the |groups| frame (the q56 idiom)
+    "q422_pettitt_changepoint") // 1-row argmax + 1-row means broadcasts over the calendar spine
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
