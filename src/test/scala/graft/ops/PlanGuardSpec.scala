@@ -133,6 +133,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q418_huber_irls"          -> 1,   // 1-row fit/scale broadcasts over the calendar spine
     "q421_kruskal_wallis"      -> 1,   // 1-row (N, tie-mass) broadcast
     "q422_pettitt_changepoint" -> 1,   // 1-row argmax/means broadcasts
+    "q423_gumbel_return_levels" -> 1,  // 1-row Gumbel-fit broadcast
+    "q424_nb_overdispersion"   -> 1,   // 1-row moment broadcast
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -261,7 +263,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q417_theil_decomposition", // 1-row (mu, N) global broadcast (the q56 idiom)
     "q418_huber_irls",         // 1-row fit + 1-row median-scale broadcasts per round (the q340 idiom)
     "q421_kruskal_wallis",     // 1-row (N, tie-mass) broadcast over the |groups| frame (the q56 idiom)
-    "q422_pettitt_changepoint") // 1-row argmax + 1-row means broadcasts over the calendar spine
+    "q422_pettitt_changepoint", // 1-row argmax + 1-row means broadcasts over the calendar spine
+    "q423_gumbel_return_levels", // 1-row Gumbel-fit broadcast over the ~84 monthly maxima
+    "q424_nb_overdispersion")  // 1-row moment broadcast over the <=11-bin census
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
