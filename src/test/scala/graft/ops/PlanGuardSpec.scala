@@ -135,6 +135,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q422_pettitt_changepoint" -> 1,   // 1-row argmax/means broadcasts
     "q423_gumbel_return_levels" -> 1,  // 1-row Gumbel-fit broadcast
     "q424_nb_overdispersion"   -> 1,   // 1-row moment broadcast
+    "q426_periodogram"         -> 1,   // 1-row mean broadcast over the daily spine
+    "q427_nn_matching"         -> 1,   // 1-row quantile broadcast onto the 1-row ATT report
+    "q428_range_planner"       -> 1,   // 1-row skew broadcast onto the 16-row partition frame
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -265,7 +268,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q421_kruskal_wallis",     // 1-row (N, tie-mass) broadcast over the |groups| frame (the q56 idiom)
     "q422_pettitt_changepoint", // 1-row argmax + 1-row means broadcasts over the calendar spine
     "q423_gumbel_return_levels", // 1-row Gumbel-fit broadcast over the ~84 monthly maxima
-    "q424_nb_overdispersion")  // 1-row moment broadcast over the <=11-bin census
+    "q424_nb_overdispersion",  // 1-row moment broadcast over the <=11-bin census
+    "q426_periodogram",        // 1-row mean broadcast over the calendar-bounded daily spine
+    "q427_nn_matching",        // 1-row quantile broadcast onto the 1-row ATT report (matching itself is the q118 as-of window shape)
+    "q428_range_planner")      // 1-row skew broadcast onto the P=16 partition frame (boundaries ride a 15-element broadcast array)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
