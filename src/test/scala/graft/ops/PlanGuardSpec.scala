@@ -138,6 +138,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q426_periodogram"         -> 1,   // 1-row mean broadcast over the daily spine
     "q427_nn_matching"         -> 1,   // 1-row quantile broadcast onto the 1-row ATT report
     "q428_range_planner"       -> 1,   // 1-row skew broadcast onto the 16-row partition frame
+    "q430_wilcoxon_signed_rank" -> 1,  // 1-row tie/zero broadcasts onto the 1-row moment report
+    "q431_beta_binomial_shrink" -> 1,  // 1-row MoM-prior broadcast onto the 25-brand frame
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -271,7 +273,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q424_nb_overdispersion",  // 1-row moment broadcast over the <=11-bin census
     "q426_periodogram",        // 1-row mean broadcast over the calendar-bounded daily spine
     "q427_nn_matching",        // 1-row quantile broadcast onto the 1-row ATT report (matching itself is the q118 as-of window shape)
-    "q428_range_planner")      // 1-row skew broadcast onto the P=16 partition frame (boundaries ride a 15-element broadcast array)
+    "q428_range_planner",      // 1-row skew broadcast onto the P=16 partition frame (boundaries ride a 15-element broadcast array)
+    "q430_wilcoxon_signed_rank", // 1-row tie census + zero census onto the 1-row moment report
+    "q431_beta_binomial_shrink") // 1-row MoM prior onto the 25-brand rate frame (the q375 James-Stein idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
