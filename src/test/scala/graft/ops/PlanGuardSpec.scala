@@ -140,6 +140,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q428_range_planner"       -> 1,   // 1-row skew broadcast onto the 16-row partition frame
     "q430_wilcoxon_signed_rank" -> 1,  // 1-row tie/zero broadcasts onto the 1-row moment report
     "q431_beta_binomial_shrink" -> 1,  // 1-row MoM-prior broadcast onto the 25-brand frame
+    "q432_betweenness"         -> 1,   // 1-row node-count broadcast onto the |V|-row centrality frame
+    "q433_sax_motifs"          -> 1,   // 1-row bounds/top-motif broadcasts onto the 64-segment frame
+    "q434_friedman_test"       -> 1,   // 1-row tie/k broadcasts onto the k-treatment frame
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -275,7 +278,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q427_nn_matching",        // 1-row quantile broadcast onto the 1-row ATT report (matching itself is the q118 as-of window shape)
     "q428_range_planner",      // 1-row skew broadcast onto the P=16 partition frame (boundaries ride a 15-element broadcast array)
     "q430_wilcoxon_signed_rank", // 1-row tie census + zero census onto the 1-row moment report
-    "q431_beta_binomial_shrink") // 1-row MoM prior onto the 25-brand rate frame (the q375 James-Stein idiom)
+    "q431_beta_binomial_shrink", // 1-row MoM prior onto the 25-brand rate frame (the q375 James-Stein idiom)
+    "q432_betweenness",        // 1-row node count onto the |V|-row frame; walks/triples ride equi-joins
+    "q433_sax_motifs",         // 1-row series bounds + 1-row top-motif onto the 64-segment frame
+    "q434_friedman_test")      // 1-row tie census + treatment count onto the k-row report
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
