@@ -143,6 +143,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q432_betweenness"         -> 1,   // 1-row node-count broadcast onto the |V|-row centrality frame
     "q433_sax_motifs"          -> 1,   // 1-row bounds/top-motif broadcasts onto the 64-segment frame
     "q434_friedman_test"       -> 1,   // 1-row tie/k broadcasts onto the k-treatment frame
+    "q435_mcnemar_test"        -> 1,   // 1-row binomial-tail sum onto the 1-row cell report
+    "q436_cochran_q"           -> 1,   // 1-row row-total moments onto the 3-era column frame
+    "q437_fisher_exact"        -> 1,   // 1-row observed-pmf + tails onto the 1-row cell report
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -281,7 +284,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q431_beta_binomial_shrink", // 1-row MoM prior onto the 25-brand rate frame (the q375 James-Stein idiom)
     "q432_betweenness",        // 1-row node count onto the |V|-row frame; walks/triples ride equi-joins
     "q433_sax_motifs",         // 1-row series bounds + 1-row top-motif onto the 64-segment frame
-    "q434_friedman_test")      // 1-row tie census + treatment count onto the k-row report
+    "q434_friedman_test",      // 1-row tie census + treatment count onto the k-row report
+    "q435_mcnemar_test",       // 1-row exact-binomial tail onto the 1-row cell report (the q215 idiom)
+    "q436_cochran_q",          // 1-row row-total moments onto the 3-era column frame (the q56 idiom)
+    "q437_fisher_exact")       // 1-row lnp_obs + 1-row tails onto the 1-row cell report (the q215 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
