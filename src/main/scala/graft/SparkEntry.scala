@@ -8,13 +8,47 @@ import graft.ops._
 object SparkEntry {
 
   private val modules: Seq[QueryDef] =
-    Relational.all ++ EventOps.all ++ GraphOps.all ++ TextOps.all ++
-      Dedup.all ++ Similarity.all ++ Multimodal.all ++ SchedulerQueries.all ++
-      Analytics.all ++ Joins.all ++ Reshape.all ++ Subqueries.all ++
-      Pipelines.all ++ CorpusOps.all ++ ReportingOps.all ++ TrainingOps.all ++
-      CurationOps.all ++ ScoringOps.all ++ GraphAnalytics.all ++ ScaleOps.all ++
-      ProductAnalytics.all ++ SketchOps.all ++ SignalOps.all ++
-      AttributionOps.all ++ AuditOps.all ++ RecsysOps.all ++ SegmentOps.all ++ LifecycleOps.all ++ StatOps.all ++ IntegrityOps.all ++ InsightOps.all ++ DriftOps.all ++ GrowthOps.all ++ EvalOps.all ++ TemporalOps.all ++ TokenizerOps.all ++ ProfileOps.all ++ DiversityOps.all ++ RevenueOps.all ++ StructureOps.all ++ PruneOps.all ++ AssuranceOps.all ++ IntakeOps.all ++ FitnessOps.all ++ RefineOps.all ++ RerankOps.all ++ AllocOps.all ++ RobustOps.all ++ PolicyOps.all ++ NetworkOps.all ++ QuantizeOps.all ++ TrendOps.all ++ ValidationOps.all ++ LinkOps.all ++ PretrainOps.all ++ DiscoveryOps.all ++ FeatureOps.all ++ CausalOps.all ++ TuneOps.all ++ GenOps.all ++ SreOps.all ++ ControlOps.all ++ ReleaseOps.all ++ StorageOps.all ++ CboOps.all ++ CompeteOps.all ++ JourneyOps.all ++ IrOps.all ++ OpsResearchOps.all ++ PrivacyOps.all ++ PrefOps.all ++ SeriesOps.all ++ MineOps.all ++ SeedOps.all ++ GovernOps.all ++ DecideOps.all ++ TrialOps.all ++ IterOps.all ++ DetectOps.all ++ MeasureOps.all ++ OfflineEvalOps.all ++ LabelQualityOps.all ++ AcquireOps.all ++ RepresentOps.all ++ ValuationOps.all ++ CalibrateOps.all ++ SelectOps.all ++ ScalingOps.all ++ SafetyOps.all ++ TrussOps.all ++ CohortStatOps.all ++ DesignOps.all ++ BpeOps.all ++ EntropyOps.all ++ MergeAuditOps.all ++ MonitorOps.all ++ SkylineOps.all ++ MultiTestOps.all ++ DecompOps.all ++ TransportOps.all ++ HeavyOps.all ++ PhraseScanOps.all ++ TemporalGraphOps.all ++ ConformalOps.all ++ FacilityOps.all ++ AnfOps.all ++ QuantRegOps.all ++ CompactOps.all ++ QueueOps.all ++ HistogramOps.all ++ LDiversityOps.all ++ FoldOps.all ++ MedianOps.all ++ QteOps.all ++ PpsOps.all ++ BreakpointOps.all ++ BottleneckOps.all ++ NeymanOps.all ++ ForecastOps.all ++ RankCorrOps.all ++ GmmOps.all ++ RichnessOps.all ++ GridClusterOps.all ++ CaptureOps.all ++ TheilOps.all ++ HuberOps.all ++ BoxCoxOps.all ++ ReliabilityOps.all ++ KruskalOps.all ++ PettittOps.all ++ ExtremeOps.all ++ DispersionOps.all ++ CycleOps.all ++ PeriodOps.all ++ MatchingOps.all ++ PartitionPlanOps.all ++ AnovaOps.all ++ WilcoxonOps.all ++ ShrinkOps.all ++ BetweennessOps.all ++ SaxOps.all ++ FriedmanOps.all ++ PairedBinaryOps.all ++ FisherOps.all ++ SeriesDiagOps.all
+    // flat Seq-of-Seqs (not a ++ chain): 140+ chained ++ applications
+    // nest deep enough to overflow scalac's default thread stack
+    Seq(
+      Relational.all, EventOps.all, GraphOps.all, TextOps.all,
+      Dedup.all, Similarity.all, Multimodal.all, SchedulerQueries.all,
+      Analytics.all, Joins.all, Reshape.all, Subqueries.all,
+      Pipelines.all, CorpusOps.all, ReportingOps.all, TrainingOps.all,
+      CurationOps.all, ScoringOps.all, GraphAnalytics.all, ScaleOps.all,
+      ProductAnalytics.all, SketchOps.all, SignalOps.all, AttributionOps.all,
+      AuditOps.all, RecsysOps.all, SegmentOps.all, LifecycleOps.all,
+      StatOps.all, IntegrityOps.all, InsightOps.all, DriftOps.all,
+      GrowthOps.all, EvalOps.all, TemporalOps.all, TokenizerOps.all,
+      ProfileOps.all, DiversityOps.all, RevenueOps.all, StructureOps.all,
+      PruneOps.all, AssuranceOps.all, IntakeOps.all, FitnessOps.all,
+      RefineOps.all, RerankOps.all, AllocOps.all, RobustOps.all,
+      PolicyOps.all, NetworkOps.all, QuantizeOps.all, TrendOps.all,
+      ValidationOps.all, LinkOps.all, PretrainOps.all, DiscoveryOps.all,
+      FeatureOps.all, CausalOps.all, TuneOps.all, GenOps.all,
+      SreOps.all, ControlOps.all, ReleaseOps.all, StorageOps.all,
+      CboOps.all, CompeteOps.all, JourneyOps.all, IrOps.all,
+      OpsResearchOps.all, PrivacyOps.all, PrefOps.all, SeriesOps.all,
+      MineOps.all, SeedOps.all, GovernOps.all, DecideOps.all,
+      TrialOps.all, IterOps.all, DetectOps.all, MeasureOps.all,
+      OfflineEvalOps.all, LabelQualityOps.all, AcquireOps.all, RepresentOps.all,
+      ValuationOps.all, CalibrateOps.all, SelectOps.all, ScalingOps.all,
+      SafetyOps.all, TrussOps.all, CohortStatOps.all, DesignOps.all,
+      BpeOps.all, EntropyOps.all, MergeAuditOps.all, MonitorOps.all,
+      SkylineOps.all, MultiTestOps.all, DecompOps.all, TransportOps.all,
+      HeavyOps.all, PhraseScanOps.all, TemporalGraphOps.all, ConformalOps.all,
+      FacilityOps.all, AnfOps.all, QuantRegOps.all, CompactOps.all,
+      QueueOps.all, HistogramOps.all, LDiversityOps.all, FoldOps.all,
+      MedianOps.all, QteOps.all, PpsOps.all, BreakpointOps.all,
+      BottleneckOps.all, NeymanOps.all, ForecastOps.all, RankCorrOps.all,
+      GmmOps.all, RichnessOps.all, GridClusterOps.all, CaptureOps.all,
+      TheilOps.all, HuberOps.all, BoxCoxOps.all, ReliabilityOps.all,
+      KruskalOps.all, PettittOps.all, ExtremeOps.all, DispersionOps.all,
+      CycleOps.all, PeriodOps.all, MatchingOps.all, PartitionPlanOps.all,
+      AnovaOps.all, WilcoxonOps.all, ShrinkOps.all, BetweennessOps.all,
+      SaxOps.all, FriedmanOps.all, PairedBinaryOps.all, FisherOps.all,
+      SeriesDiagOps.all, RegressionOps.all
+    ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
     * (ingest → {enrich, corpus} → report), schedule it through the
