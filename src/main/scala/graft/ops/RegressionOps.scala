@@ -26,29 +26,9 @@ import org.apache.spark.sql.types.DecimalType
   */
 object RegressionOps {
 
-  // ——— generated Leibniz determinants (identical text in both dialects) ———
-
-  private def perms(n: Int): Seq[(Seq[Int], Int)] =
-    (0 until n).permutations.map { p =>
-      val inv = (for {
-        i <- p.indices; j <- i + 1 until p.length if p(i) > p(j)
-      } yield 1).size
-      (p.toSeq, if (inv % 2 == 0) 1 else -1)
-    }.toSeq
-
-  private def det(m: Seq[Seq[String]]): String =
-    perms(m.size).map { case (p, s) =>
-      val prod = p.zipWithIndex.map { case (c, r) => m(r)(c) }.mkString(" * ")
-      s"($s.0 * $prod)"
-    }.mkString("(", " + ", ")")
-
-  private def replaceCol(m: Seq[Seq[String]], j: Int, b: Seq[String]) =
-    m.zipWithIndex.map { case (row, r) => row.updated(j, b(r)) }
-
-  private def minor(m: Seq[Seq[String]], r0: Int, c0: Int) =
-    m.zipWithIndex.collect { case (row, r) if r != r0 =>
-      row.zipWithIndex.collect { case (v, c) if c != c0 => v }
-    }
+  // generated Leibniz determinants (identical text in both dialects) —
+  // shared with the PACF/Granger members of the family
+  import Leibniz.{det, replaceCol, minor}
 
   private val A = Seq(
     Seq("mn", "m1", "m2", "m3"),
