@@ -47,7 +47,8 @@ object SparkEntry {
       CycleOps.all, PeriodOps.all, MatchingOps.all, PartitionPlanOps.all,
       AnovaOps.all, WilcoxonOps.all, ShrinkOps.all, BetweennessOps.all,
       SaxOps.all, FriedmanOps.all, PairedBinaryOps.all, FisherOps.all,
-      SeriesDiagOps.all, RegressionOps.all, LongMemoryOps.all, MstOps.all, SpectralOps.all
+      SeriesDiagOps.all, RegressionOps.all, LongMemoryOps.all, MstOps.all, SpectralOps.all,
+      HoltWintersOps.all, StationarityOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -153,6 +153,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q444_hurst_rs"            -> 1,   // 1-row slope broadcast onto the 6-window frame
     "q445_pacf"                -> 1,   // 1-row series moments onto the 5-lag ACF frame
     "q448_spectral_bipartition" -> 80, // thinned-edge frame (<=3|V| rows) range-joined to the |V|-row sweep
+    "q450_mood_median"         -> 1,   // 1-row median + 1-row margins onto the k-group cells
+    "q451_kpss"                -> 1,   // 1-row moments onto the walk/lag frames
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -301,7 +303,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q443_breusch_pagan",      // 1-row Cramer-beta broadcast onto the per-order design (the q418 idiom)
     "q444_hurst_rs",           // 1-row log-log slope onto the 6-window R/S frame (the q56 idiom)
     "q445_pacf",               // 1-row (n, Σc, Σc²) moments onto the 5-lag frame (the q438 idiom)
-    "q448_spectral_bipartition") // 1-row array/cut broadcasts + the model-sized sweep range join
+    "q448_spectral_bipartition", // 1-row array/cut broadcasts + the model-sized sweep range join
+    "q450_mood_median",        // 1-row grand-median broadcast onto the order frame (the q439 idiom)
+    "q451_kpss")               // 1-row moment broadcasts onto the daily spine (the q438 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
