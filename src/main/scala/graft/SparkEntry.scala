@@ -48,7 +48,7 @@ object SparkEntry {
       AnovaOps.all, WilcoxonOps.all, ShrinkOps.all, BetweennessOps.all,
       SaxOps.all, FriedmanOps.all, PairedBinaryOps.all, FisherOps.all,
       SeriesDiagOps.all, RegressionOps.all, LongMemoryOps.all, MstOps.all, SpectralOps.all,
-      HoltWintersOps.all, StationarityOps.all
+      HoltWintersOps.all, StationarityOps.all, CoxOps.all, OrderedAltOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -155,6 +155,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q448_spectral_bipartition" -> 80, // thinned-edge frame (<=3|V| rows) range-joined to the |V|-row sweep
     "q450_mood_median"         -> 1,   // 1-row median + 1-row margins onto the k-group cells
     "q451_kpss"                -> 1,   // 1-row moments onto the walk/lag frames
+    "q452_cox_ph"              -> 1,   // 1-row beta/horizon broadcasts onto the event spine
+    "q453_cochran_armitage"    -> 1,   // 1-row margins onto the 5-score cells
+    "q454_jonckheere"          -> 1,   // 1-row moment/tie reports cross-joined
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -305,7 +308,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q445_pacf",               // 1-row (n, Σc, Σc²) moments onto the 5-lag frame (the q438 idiom)
     "q448_spectral_bipartition", // 1-row array/cut broadcasts + the model-sized sweep range join
     "q450_mood_median",        // 1-row grand-median broadcast onto the order frame (the q439 idiom)
-    "q451_kpss")               // 1-row moment broadcasts onto the daily spine (the q438 idiom)
+    "q451_kpss",               // 1-row moment broadcasts onto the daily spine (the q438 idiom)
+    "q452_cox_ph",             // 1-row horizon + per-step beta broadcasts onto the event spine (the q418 idiom)
+    "q453_cochran_armitage",   // 1-row margin broadcast onto the 5-score cells (the q56 idiom)
+    "q454_jonckheere")         // 1-row JT/moment/tie reports cross-joined (the q217 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
