@@ -48,7 +48,8 @@ object SparkEntry {
       AnovaOps.all, WilcoxonOps.all, ShrinkOps.all, BetweennessOps.all,
       SaxOps.all, FriedmanOps.all, PairedBinaryOps.all, FisherOps.all,
       SeriesDiagOps.all, RegressionOps.all, LongMemoryOps.all, MstOps.all, SpectralOps.all,
-      HoltWintersOps.all, StationarityOps.all, CoxOps.all, OrderedAltOps.all
+      HoltWintersOps.all, StationarityOps.all, CoxOps.all, OrderedAltOps.all,
+      RansacOps.all, BayesAbOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -158,6 +158,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q452_cox_ph"              -> 1,   // 1-row beta/horizon broadcasts onto the event spine
     "q453_cochran_armitage"    -> 1,   // 1-row margins onto the 5-score cells
     "q454_jonckheere"          -> 1,   // 1-row moment/tie reports cross-joined
+    "q455_ransac"              -> 32,  // 32-line candidate frame scored against the daily census
+    "q456_bayesian_ab"         -> 1,   // 1-row posterior-sum broadcast onto the 2-arm frame
+    "q457_page_hinkley"        -> 1,   // 1-row moment/top/alarm broadcasts onto the walk
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -311,7 +314,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q451_kpss",               // 1-row moment broadcasts onto the daily spine (the q438 idiom)
     "q452_cox_ph",             // 1-row horizon + per-step beta broadcasts onto the event spine (the q418 idiom)
     "q453_cochran_armitage",   // 1-row margin broadcast onto the 5-score cells (the q56 idiom)
-    "q454_jonckheere")         // 1-row JT/moment/tie reports cross-joined (the q217 idiom)
+    "q454_jonckheere",         // 1-row JT/moment/tie reports cross-joined (the q217 idiom)
+    "q455_ransac",             // 32-row md5-seeded line pool broadcast (the q172 model-pool idiom)
+    "q456_bayesian_ab",        // 1-row exact posterior sum onto the 2-arm frame (the q215 idiom)
+    "q457_page_hinkley")       // 1-row moments + 1-row top/alarm onto the walk (the q56 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
