@@ -31,30 +31,34 @@ object JoinPlanOps {
     "q458_selinger_dp",
     (s, dir) => {
       val t = Tables(s, dir)
-      // stats pass: table sizes + per-edge NDVs (the ANALYZE scan)
-      val stats = Seq(
-        t.region.agg(count(lit(1)).as("v")).select(lit(0L).as("idx"), col("v")),
-        t.nation.agg(count(lit(1)).as("v")).select(lit(1L).as("idx"), col("v")),
-        t.customer.agg(count(lit(1)).as("v")).select(lit(2L).as("idx"), col("v")),
-        t.orders.agg(count(lit(1)).as("v")).select(lit(3L).as("idx"), col("v")),
-        t.lineitem.agg(count(lit(1)).as("v")).select(lit(4L).as("idx"), col("v")))
-        .reduce(_ unionByName _)
+      // stats pass: ONE aggregation per table gathers its size and the
+      // NDVs of every join column it contributes (5 scans total)
+      val rStats = t.region.agg(count(lit(1)).as("rn"),
+        countDistinct(col("r_regionkey")).as("r_rk"))
+      val nStats = t.nation.agg(count(lit(1)).as("nn_"),
+        countDistinct(col("n_regionkey")).as("n_rk"),
+        countDistinct(col("n_nationkey")).as("n_nk"))
+      val cStats = t.customer.agg(count(lit(1)).as("cn"),
+        countDistinct(col("c_nationkey")).as("c_nk"),
+        countDistinct(col("c_custkey")).as("c_ck"))
+      val oStats = t.orders.agg(count(lit(1)).as("on_"),
+        countDistinct(col("o_custkey")).as("o_ck"),
+        countDistinct(col("o_orderkey")).as("o_ok"))
+      val lStats = t.lineitem.agg(count(lit(1)).as("ln_"),
+        countDistinct(col("l_orderkey")).as("l_ok"))
+      val allStats = rStats.crossJoin(broadcast(nStats))
+        .crossJoin(broadcast(cStats)).crossJoin(broadcast(oStats))
+        .crossJoin(broadcast(lStats))
+        .localCheckpoint()
+      val stats = allStats.selectExpr(
+        """stack(5, 0L, rn, 1L, nn_, 2L, cn, 3L, on_, 4L, ln_)
+           AS (idx, v)""")
         .withColumn("lnn", round(log(col("v").cast("double")), 9))
         .localCheckpoint()
-      val edges = Seq(
-        t.region.agg(countDistinct(col("r_regionkey")).as("a"))
-          .crossJoin(t.nation.agg(countDistinct(col("n_regionkey")).as("b")))
-          .select(lit(0L).as("e"), greatest(col("a"), col("b")).as("nd")),
-        t.nation.agg(countDistinct(col("n_nationkey")).as("a"))
-          .crossJoin(t.customer.agg(countDistinct(col("c_nationkey")).as("b")))
-          .select(lit(1L).as("e"), greatest(col("a"), col("b")).as("nd")),
-        t.customer.agg(countDistinct(col("c_custkey")).as("a"))
-          .crossJoin(t.orders.agg(countDistinct(col("o_custkey")).as("b")))
-          .select(lit(2L).as("e"), greatest(col("a"), col("b")).as("nd")),
-        t.orders.agg(countDistinct(col("o_orderkey")).as("a"))
-          .crossJoin(t.lineitem.agg(countDistinct(col("l_orderkey")).as("b")))
-          .select(lit(3L).as("e"), greatest(col("a"), col("b")).as("nd")))
-        .reduce(_ unionByName _)
+      val edges = allStats.selectExpr(
+        """stack(4, 0L, greatest(r_rk, n_rk), 1L, greatest(n_nk, c_nk),
+           2L, greatest(c_ck, o_ck), 3L, greatest(o_ok, l_ok))
+           AS (e, nd)""")
         .withColumn("lnsel", round(-log(col("nd").cast("double")), 9))
         .localCheckpoint()
       // connected-subset lattice with estimated rows
