@@ -44,7 +44,7 @@ object RegressionOps {
 
   /** Shared per-order design: y (cents), x1 = items, x2 = Σquantity,
     * x3 = Σ(discount points). */
-  private def design(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[ops] def design(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val li = t.lineitem.groupBy(col("l_orderkey").as("ok"))
       .agg(count(lit(1)).as("x1"),
@@ -57,7 +57,7 @@ object RegressionOps {
       .join(li, Seq("ok"))
   }
 
-  private val designSql = """SELECT o.o_orderkey AS ok,
+  private[ops] val designSql = """SELECT o.o_orderkey AS ok,
           CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
             AS DECIMAL(18,0)) AS BIGINT) AS y,
           l.x1, l.x2, l.x3
@@ -69,7 +69,7 @@ object RegressionOps {
 
   /** Exact integer moments → 1-row frame of doubles named exactly as the
     * determinant entries expect. */
-  private def moments(d: DataFrame): DataFrame = {
+  private[ops] def moments(d: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
     d.agg(
       count(lit(1)).as("rn"),
@@ -99,7 +99,7 @@ object RegressionOps {
         col("r3y").cast("double").as("m3y"), col("ryy").cast("double").as("myy"))
   }
 
-  private val momentsSql = s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  private[ops] val momentsSql = s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
         CAST(COUNT(*) AS DOUBLE) AS mn,
         CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS m1,
         CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS m2,

@@ -162,6 +162,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q456_bayesian_ab"         -> 1,   // 1-row posterior-sum broadcast onto the 2-arm frame
     "q457_page_hinkley"        -> 1,   // 1-row moment/top/alarm broadcasts onto the walk
     "q459_ansari_bradley"      -> 1,   // 1-row (N, m) broadcast onto the rank frame
+    "q461_ordinal_concordance" -> 15,  // the 15-cell grid self-paired (model-sized at any SF)
+    "q462_theils_u"            -> 1,   // 1-row entropy reports cross-joined
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -319,7 +321,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q455_ransac",             // 32-row md5-seeded line pool broadcast (the q172 model-pool idiom)
     "q456_bayesian_ab",        // 1-row exact posterior sum onto the 2-arm frame (the q215 idiom)
     "q457_page_hinkley",       // 1-row moments + 1-row top/alarm onto the walk (the q56 idiom)
-    "q459_ansari_bradley")     // 1-row (N, m) census broadcast onto the rank frame (the q421 idiom)
+    "q459_ansari_bradley",     // 1-row (N, m) census broadcast onto the rank frame (the q421 idiom)
+    "q461_ordinal_concordance",// 15-cell grid self-pairing (the q153 model-sized idiom)
+    "q462_theils_u")           // 1-row entropy reports cross-joined (the q217 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
