@@ -163,6 +163,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q457_page_hinkley"        -> 1,   // 1-row moment/top/alarm broadcasts onto the walk
     "q459_ansari_bradley"      -> 1,   // 1-row (N, m) broadcast onto the rank frame
     "q461_ordinal_concordance" -> 15,  // the 15-cell grid self-paired (model-sized at any SF)
+    "q463_mantel_haenszel"     -> 1,   // 1-row MH/CMH report onto the 5-stratum cells
+    "q465_cramers_v"           -> 1,   // 1-row totals onto the 25-cell grid
     "q462_theils_u"            -> 1,   // 1-row entropy reports cross-joined
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
@@ -323,7 +325,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q457_page_hinkley",       // 1-row moments + 1-row top/alarm onto the walk (the q56 idiom)
     "q459_ansari_bradley",     // 1-row (N, m) census broadcast onto the rank frame (the q421 idiom)
     "q461_ordinal_concordance",// 15-cell grid self-pairing (the q153 model-sized idiom)
-    "q462_theils_u")           // 1-row entropy reports cross-joined (the q217 idiom)
+    "q462_theils_u",           // 1-row entropy reports cross-joined (the q217 idiom)
+    "q463_mantel_haenszel",    // 1-row MH/CMH report onto the 5-stratum cells (the q215 idiom)
+    "q465_cramers_v")          // 1-row (n, r, k) totals onto the 25-cell grid (the q56 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
