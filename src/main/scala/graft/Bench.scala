@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   *  - no args (the driver's invocation): PARENT mode — split the full
   *    sorted query list into SPARK_GRAFT_BENCH_CHUNKS (default 4)
   *    contiguous ranges and run each range in a FRESH child JVM, then
-  *    re-measure every >1.5×-of-floor survivor in its own fresh JVM and
+  *    re-measure every >1.3×-of-floor survivor in its own fresh JVM and
   *    report min(suite, fresh). 337 queries' generated classes never
   *    share one metaspace, so late-suite codegen/class pressure — the
   *    mechanism behind every "environmental drift" episode since r5
@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *    the committed artifact.
   *  - `--chunk <name>… --out <file>`: CHILD mode — the classic
   *    single-JVM protocol (session warm, per-query sf0.001 codegen warm,
-  *    min-of-2, in-suite isolated recheck at 1.5× floor) over the given
+  *    min-of-2, in-suite isolated recheck at 1.3× floor) over the given
   *    subset, JSON written to <file>.
   *  - `<name>…` (manual): same single-JVM protocol over the subset,
   *    JSON to stdout + BENCH.json — the re-measure path the verdicts use
@@ -45,6 +45,42 @@ object Bench {
     Seq(javaBin) ++ jvmArgs ++ Seq("-cp", System.getProperty("java.class.path"))
   }
 
+  /** Re-pin/recheck trigger: a reading above this ratio of its committed
+    * floor gets re-measured (in-suite isolated in the child; dedicated
+    * fresh JVM in the parent). 1.3 — r9's drift cluster sat at 1.36–1.5×
+    * and escaped the old 1.5× gate without fresh-JVM evidence. */
+  private val RepinRatio = 1.3
+
+  /** Parsed child artifact: per-query timings, failures, and the raw
+    * isolated-recheck entries (re-serialized verbatim into the merged
+    * artifact). Parsed with Jackson — regex/brace-counting over raw JSON
+    * mis-parses the moment any string value contains a brace (r9 advice).
+    */
+  private final case class ChunkArtifact(
+    times: Seq[(String, Double)], failed: Seq[String], rechecks: Seq[String])
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parseChunk(json: String, label: String): ChunkArtifact = {
+    import scala.jdk.CollectionConverters._
+    val root =
+      try mapper.readTree(json)
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"bench chunk $label wrote malformed JSON: ${e.getMessage}")
+      }
+    val q = root.get("queries")
+    require(q != null && q.isObject, s"chunk $label artifact missing queries object")
+    val times = q.fieldNames.asScala.toSeq.map(n => n -> q.get(n).asDouble())
+    val f = root.get("failed")
+    require(f != null && f.isArray, s"chunk $label artifact missing failed array")
+    val failed = f.elements.asScala.map(_.asText()).toSeq
+    val rc = root.get("isolated_rechecks")
+    require(rc != null && rc.isArray, s"chunk $label artifact missing isolated_rechecks")
+    val rechecks = rc.elements.asScala.map(_.toString).toSeq
+    ChunkArtifact(times, failed, rechecks)
+  }
+
   /** Run one fresh child JVM over `names`, return its raw JSON artifact. */
   private def runChild(names: Seq[String], label: String): String = {
     val out = java.io.File.createTempFile(s"bench_$label", ".json")
@@ -62,8 +98,6 @@ object Bench {
       java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private val timeRe = """"(q\d+[a-z0-9_]*)":\s*([0-9.E-]+)""".r
-
   private def parentMain(): Unit = {
     // SPARK_GRAFT_BENCH_ONLY=q01,q02 — local-iteration hook to exercise
     // the chunked path on a subset; the driver never sets it
@@ -74,53 +108,37 @@ object Bench {
     val nChunks = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNKS", "4").toInt
       .max(1).min(all.size)
     val per = (all.size + nChunks - 1) / nChunks
-    val chunkJsons = all.grouped(per).zipWithIndex.map { case (names, i) =>
-      runChild(names, s"c$i")
+    // parse each artifact as it arrives so a malformed chunk fails fast
+    // with its label instead of aborting a multi-hour run at merge time
+    val chunks = all.grouped(per).zipWithIndex.map { case (names, i) =>
+      parseChunk(runChild(names, s"c$i"), s"c$i")
     }.toSeq
 
-    def section(json: String, key: String, open: Char, close: Char): String = {
-      val tag = s""""$key":"""
-      val start = json.indexOf(tag + open)
-      require(start >= 0, s"chunk artifact missing $key")
-      val from = start + tag.length // index of the opening bracket
-      var depth = 0
-      var i = from
-      while ({
-        val c = json.charAt(i)
-        if (c == open) depth += 1 else if (c == close) depth -= 1
-        i += 1
-        depth != 0
-      }) ()
-      json.substring(from, i)
-    }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     val rechecks = scala.collection.mutable.ListBuffer[String]()
-    chunkJsons.foreach { j =>
-      timeRe.findAllMatchIn(section(j, "queries", '{', '}'))
-        .foreach(m => times(m.group(1)) = m.group(2).toDouble)
-      """"(q\d+[a-z0-9_]*)"""".r.findAllMatchIn(section(j, "failed", '[', ']'))
-        .foreach(m => failed += m.group(1))
-      val rc = section(j, "isolated_rechecks", '[', ']')
-      if (rc.length > 2) rechecks += rc.substring(1, rc.length - 1)
+    chunks.foreach { c =>
+      c.times.foreach { case (n, t) => times(n) = t }
+      failed ++= c.failed
+      rechecks ++= c.rechecks
     }
     require(times.size == all.size,
       s"merged ${times.size} timings for ${all.size} queries")
 
-    // fresh-JVM re-pin pass: every survivor above 1.5× of its committed
+    // fresh-JVM re-pin pass: every survivor above 1.3× of its committed
     // floor gets a dedicated fresh JVM; the artifact carries BOTH numbers
-    // and reports min(suite, fresh) — no >1.5× reading can land without a
-    // fresh-JVM number beside it (r8 verdict #1)
+    // and reports min(suite, fresh) — no >1.3× reading can land without a
+    // fresh-JVM number beside it (threshold 1.5→1.3 per r9 verdict #1:
+    // the 1.3–1.5× drift band was exactly the unexonerated cluster)
     val prior = loadPrior()
     val freshRechecks = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
     val finalTimes = times.map { case (name, t) =>
-      val breach = prior.get(name).exists(p => t > 1.5 * p && t > 0.3) &&
+      val breach = prior.get(name).exists(p => t > RepinRatio * p && t > 0.3) &&
         !failed.contains(name)
       if (!breach) name -> t
       else {
-        val j = runChild(Seq(name), s"repin_$name")
-        val fresh = timeRe.findAllMatchIn(section(j, "queries", '{', '}'))
-          .map(_.group(2).toDouble).toSeq.headOption.getOrElse(t)
+        val repin = parseChunk(runChild(Seq(name), s"repin_$name"), s"repin_$name")
+        val fresh = repin.times.collectFirst { case (`name`, v) => v }.getOrElse(t)
         System.err.println(
           f"[bench] $name fresh-JVM re-pin: suite=$t%.2f s fresh=$fresh%.2f s (floor=${prior(name)}%.2f s)")
         freshRechecks += ((name, t, fresh))
@@ -133,7 +151,7 @@ object Bench {
     val freshJson = freshRechecks.map { case (n, t, f) =>
       s"""{"name":"$n","suite":$t,"fresh":$f}"""
     }.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${finalTimes.values.sum},"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"isolated_rechecks":[${rechecks.mkString(",")}],"fresh_jvm_rechecks":$freshJson,"chunks":$nChunks,"runs_per_query":2,"agg":"min","sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}"""
+    val json = s"""{"metric":"total","value":${finalTimes.values.sum},"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"isolated_rechecks":[${rechecks.mkString(",")}],"fresh_jvm_rechecks":$freshJson,"repin_ratio":$RepinRatio,"chunks":$nChunks,"runs_per_query":2,"agg":"min","sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -147,11 +165,12 @@ object Bench {
       // instead of silently skipping every recheck
       System.err.println(
         s"[bench] WARNING: ${f.getAbsolutePath} not found — prior floors " +
-          "unavailable, the >1.5x regression self-check will not fire")
+          s"unavailable, the >${RepinRatio}x regression self-check will not fire")
       Map.empty
     } else {
-      val txt = scala.io.Source.fromFile(f).mkString
-      timeRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      import scala.jdk.CollectionConverters._
+      val root = mapper.readTree(f)
+      root.fieldNames.asScala.map(n => n -> root.get(n).asDouble()).toMap
     }
   }
 
@@ -228,13 +247,13 @@ object Bench {
       name -> timeQuery(name, fn)
     }
     // In-suite self-check against the last committed driver numbers: any
-    // query that reads >1.5x its best prior time gets ONE isolated
+    // query that reads >RepinRatio× its best prior time gets ONE isolated
     // re-measurement after a full quiesce, and the honest min of both
     // measurements is reported (the parent adds the fresh-JVM layer on top).
     val prior = loadPrior()
     val rechecks = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
     val results = firstPass.map { case (name, t) =>
-      val suspect = prior.get(name).exists(p => t > 1.5 * p && t > 0.3)
+      val suspect = prior.get(name).exists(p => t > RepinRatio * p && t > 0.3)
       if (!suspect || failed.contains(name)) name -> t
       else {
         quiesce()

@@ -74,7 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MultiContains].getName, "multi_contains"),
       (exprs: Seq[Expression]) => MultiContains(exprs(0),
         GraftExtensions.foldableStringArray(exprs(1),
-          "multi_contains(text, patterns)"))))
+          "multi_contains(text, patterns)").toSeq)))
     e.injectFunction((
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),

@@ -97,7 +97,7 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
   * interpreted; this is a single automaton walk inside whole-stage
   * codegen, the right shape for a 64-phrase denylist over 100 TB of text.
   */
-case class MultiContains(child: Expression, patterns: Array[String])
+case class MultiContains(child: Expression, patterns: Seq[String])
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -109,7 +109,10 @@ case class MultiContains(child: Expression, patterns: Array[String])
         s"multi_contains requires a string column, got $t")
     }
 
-  @transient private lazy val ac = new AcAutomaton(patterns)
+  // Seq (not Array) field so two identical calls are semanticEquals and
+  // Catalyst canonicalization / subexpression elimination can merge them;
+  // the automaton materializes the Array internally.
+  @transient private lazy val ac = new AcAutomaton(patterns.toArray)
 
   override def nullSafeEval(input: Any): Any =
     ac.find(input.asInstanceOf[UTF8String])
@@ -129,5 +132,5 @@ object ScanFunctions {
   /** Column API: indices of `patterns` occurring as substrings of text. */
   def multi_contains(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(MultiContains(
-      ColumnBridge.expression(text), patterns.toArray))
+      ColumnBridge.expression(text), patterns))
 }

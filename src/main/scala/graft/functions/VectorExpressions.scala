@@ -601,6 +601,6 @@ object VectorFunctions {
     ColumnBridge.registerFunction(spark, "multi_contains",
       exprs => MultiContains(exprs(0),
         GraftExtensions.foldableStringArray(exprs(1),
-          "multi_contains(text, patterns)")))
+          "multi_contains(text, patterns)").toSeq))
   }
 }

@@ -3,8 +3,8 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Centrality wave: exact betweenness centrality on the thinned nation
-  * trade graph — "which entities sit on the shortest paths between
+/** Centrality wave: betweenness centrality, exact WITHIN a 6-hop
+  * horizon, on the thinned nation trade graph — "which entities sit on the shortest paths between
   * others?", the brokerage question degree (q103), PageRank (q101),
   * HITS (q246) and Katz (q263) all miss. The raw handoff graph is
   * near-complete (every betweenness ≈ 0), so the operator runs on the
@@ -21,6 +21,15 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale shape: one corpus scan → |V|²-bounded edge census; 6 unrolled
   * walk-count joins and the triple join all run on ≤|V|² rows.
+  *
+  * CONTRACT — distance horizon: walk counts stop at length k = 6, so a
+  * node pair whose shortest thinned-graph distance exceeds 6 is treated
+  * as unreachable and contributes to neither sigma, closeness, nor
+  * betweenness. On the 25-node top-3 trade graph the spec asserts the
+  * observed diameter is ≤ 6 (BetweennessOpsSpec "horizon is vacuous"),
+  * making the result exact there; on a graph with a larger diameter the
+  * operator computes 6-hop-truncated centrality by design (raise the
+  * unroll bound if exactness beyond 6 hops is needed).
   */
 object BetweennessOps {
 

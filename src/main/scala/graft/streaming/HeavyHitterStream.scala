@@ -25,9 +25,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object HeavyHitterStream {
 
-  final case class MgState(counters: Map[String, Long], decremented: Long, n: Long)
+  final case class MgState(counters: Map[String, Long], decremented: Long,
+    n: Long, version: Long = 0L)
   final case class MgRow(shard: Int, token: String, estimate: Long,
-    shardN: Long, shardDecremented: Long)
+    shardN: Long, shardDecremented: Long, version: Long)
 
   val K = 32
   val Shards = 4
@@ -55,8 +56,11 @@ object HeavyHitterStream {
 
   /** The stateful tracker over a streaming (token) frame: tokens shard
     * by xxhash64 % Shards; each shard folds its micro-batch through MG
-    * and emits its full summary every batch (read the LAST emission per
-    * shard). */
+    * and re-emits its full summary every batch under Append, keyed by a
+    * per-shard monotone `version` (one per fold): consumers select the
+    * max-version rows per shard to read the latest summary
+    * deterministically — no reliance on sink ordering or on shardN
+    * happening to be monotone. */
   def track(tokens: DataFrame): Dataset[MgRow] = {
     val spark = tokens.sparkSession
     import spark.implicits._
@@ -70,10 +74,11 @@ object HeavyHitterStream {
           val prev = state.getOption.getOrElse(MgState(Map.empty, 0L, 0L))
           // fold in deterministic (token) order within the batch so tests
           // are reproducible; the GUARANTEE needs no order at all
-          val next = mgFold(prev, rows.map(_._1).toSeq.sorted.iterator)
+          val folded = mgFold(prev, rows.map(_._1).toSeq.sorted.iterator)
+          val next = folded.copy(version = prev.version + 1)
           state.update(next)
           next.counters.iterator.map { case (t, c) =>
-            MgRow(shard, t, c, next.n, next.decremented)
+            MgRow(shard, t, c, next.n, next.decremented, next.version)
           }
       }
   }

@@ -73,5 +73,22 @@ class BetweennessOpsSpec extends SparkTestBase {
     }
     assert(rows.exists(_.getAs[Double]("betweenness") > 0),
       "the thinned graph must have at least one broker")
+
+    // horizon is vacuous: an UNBOUNDED BFS must reach no pair beyond 6
+    // hops, so the query's k<=6 walk unroll loses nothing on this graph
+    // (the documented contract in BetweennessOps' header).
+    for (s <- nodes) {
+      val seen = mutable.Map(s -> 0)
+      var frontier = Set(s); var dist = 0
+      while (frontier.nonEmpty) {
+        dist += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(seen.contains)
+        frontier.foreach(v => seen(v) = dist)
+      }
+      val diam = (seen - s).values.foldLeft(0)(math.max)
+      assert(diam <= 6, s"thinned-graph eccentricity of $s is $diam > 6 — " +
+        "the 6-hop horizon would truncate; raise the unroll bound")
+    }
   }
 }

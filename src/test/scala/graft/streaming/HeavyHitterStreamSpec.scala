@@ -29,15 +29,16 @@ class HeavyHitterStreamSpec extends SparkTestBase {
         input.addData(slice.toSeq)
         q.processAllAvailable()
       }
-      // last emission per shard wins (monotone n marks recency)
+      // latest summary per shard = max-version rows (the explicit
+      // recency key the operator emits; no reliance on sink order)
       spark.table(name).collect()
         .map(r => (r.getAs[Int]("shard"), r.getAs[String]("token"),
           r.getAs[Long]("estimate"), r.getAs[Long]("shardN"),
-          r.getAs[Long]("shardDecremented")))
+          r.getAs[Long]("shardDecremented"), r.getAs[Long]("version")))
         .groupBy(_._1).map { case (sh, rows) =>
-          val maxN = rows.map(_._4).max
-          val last = rows.filter(_._4 == maxN)
-          sh -> (last.map(r => r._2 -> r._3).toMap, maxN, last.head._5)
+          val maxV = rows.map(_._6).max
+          val last = rows.filter(_._6 == maxV)
+          sh -> (last.map(r => r._2 -> r._3).toMap, last.head._4, last.head._5)
         }.toMap
     } finally q.stop()
   }
