@@ -148,16 +148,9 @@ object AllocOps {
   val q236DegreeAssortativity: QueryDef = QueryDef(
     "q236_degree_assortativity",
     (s, dir) => {
-      val li = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("pa"), col("pb"))
-        .localCheckpoint() // feeds degrees AND the directed edge list
+      // shared derived base table (GraphBase, distinct-support variant):
+      // feeds degrees AND the directed edge list
+      val edges = GraphBase.coPurchaseEdgesDistinct(s, dir)
       val und = edges.select(col("pa").as("n"), col("pb").as("m"))
         .union(edges.select(col("pb").as("n"), col("pa").as("m")))
       val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))

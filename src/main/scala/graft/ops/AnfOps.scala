@@ -30,23 +30,8 @@ object AnfOps {
     "q398_anf_sketch",
     (s, dir) => {
       import graft.functions.VectorFunctions.md5Long
-      val li = Tables(s, dir).lineitem
-      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("x"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("y"))
-      val base = a.join(b, "ok").filter(col("x") < col("y"))
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2).select(col("x"), col("y"))
-        .localCheckpoint()
-      val adj = base.select(col("x").as("v"), col("y").as("n"))
-        .unionAll(base.select(col("y").as("v"), col("x").as("n")))
-      val ranked = adj.withColumn("rk",
-        row_number().over(Window.partitionBy(col("v")).orderBy(col("n"))))
-      val keptDir = ranked.filter(col("rk") <= 8).select(col("v"), col("n"))
-      val edges = keptDir.filter(col("v") < col("n"))
-        .select(col("v").as("x"), col("n").as("y"))
-        .join(keptDir.filter(col("v") > col("n"))
-          .select(col("n").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
-        .localCheckpoint()
+      // shared derived base table (GraphBase): capped co-purchase edges
+      val edges = GraphBase.cappedCoPurchase(s, dir, 8)
       val sym = edges.select(col("x").as("u"), col("y").as("v"))
         .unionAll(edges.select(col("y").as("u"), col("x").as("v")))
         .localCheckpoint()

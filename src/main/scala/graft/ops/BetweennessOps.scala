@@ -40,21 +40,8 @@ object BetweennessOps {
     "q432_betweenness",
     (s, dir) => {
       val t = Tables(s, dir)
-      val li = t.lineitem
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("ts"))
-      val wSeq = Window.partitionBy(col("p")).orderBy(col("ts"), col("sid"))
-      val supNation = t.supplier.select(col("s_suppkey").as("sid"),
-        col("s_nationkey").as("nk"))
-      val full = li
-        .withColumn("nv", lead(col("sid"), 1).over(wSeq))
-        .where(col("nv").isNotNull && col("nv") =!= col("sid"))
-        .join(broadcast(supNation), Seq("sid"))
-        .join(broadcast(supNation.select(col("sid").as("nv"),
-          col("nk").as("nk2"))), Seq("nv"))
-        .where(col("nk") =!= col("nk2"))
-        .groupBy(col("nk").as("u"), col("nk2").as("v"))
-        .agg(count(lit(1)).as("w"))
+      // shared derived base table (GraphBase): directed nation trade edges
+      val full = GraphBase.tradeEdgesDirected(s, dir)
       // deterministic top-3 thinning per source
       val edges = full
         .withColumn("rn", row_number().over(

@@ -27,24 +27,9 @@ object CycleOps {
     "q425_cycle_census",
     (s, dir) => {
       val t = Tables(s, dir)
-      val li = t.lineitem
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("ts"),
-          col("l_quantity"))
-      val wSeq = Window.partitionBy(col("p")).orderBy(col("ts"), col("sid"))
-      val supNation = t.supplier.select(col("s_suppkey").as("sid"),
-        col("s_nationkey").as("nk"))
-      val handoffs = li
-        .withColumn("nv", lead(col("sid"), 1).over(wSeq))
-        .where(col("nv").isNotNull && col("nv") =!= col("sid"))
-        .join(broadcast(supNation), Seq("sid"))
-        .join(broadcast(supNation.select(col("sid").as("nv"),
-          col("nk").as("nk2"))), Seq("nv"))
-        .where(col("nk") =!= col("nk2"))
-      val edges = handoffs
-        .groupBy(col("nk").as("u"), col("nk2").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint() // BFS rounds + degree audit read it
+      // shared derived base table (GraphBase): directed nation trade
+      // edges, parquet-backed — BFS rounds + degree audit read it
+      val edges = GraphBase.tradeEdgesDirected(s, dir)
       // bounded multi-source BFS: state = (origin, node), k <= 6
       var state = edges.select(col("u").as("o"), col("v").as("node"),
         lit(1L).as("len"))

@@ -260,14 +260,9 @@ object GraphAnalytics {
   val q111TriangleCount: QueryDef = QueryDef(
     "q111_triangle_count",
     (s, dir) => {
-      val li = Tables(s, dir).lineitem
-      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("x"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("y"))
-      val edges = a.join(b, "ok").filter(col("x") < col("y"))
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("x"), col("y"))
-        .localCheckpoint() // reused for degrees, wedges, and the closing join
+      // shared derived base table (GraphBase): a parquet-backed leaf scan,
+      // re-read for degrees, wedges, and the closing join
+      val edges = GraphBase.coPurchaseEdgesRaw(s, dir)
       val deg = edges.select(col("x").as("v"))
         .unionAll(edges.select(col("y").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -334,28 +329,13 @@ object GraphAnalytics {
     "q338_capped_triangles",
     (s, dir) => {
       val cap = 8
-      val li = Tables(s, dir).lineitem
-      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("x"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("y"))
-      val edges = a.join(b, "ok").filter(col("x") < col("y"))
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("x"), col("y"))
-        .localCheckpoint() // reused: ranking, degrees, the drop audit
-      val adj = edges.select(col("x").as("v"), col("y").as("n"))
-        .unionAll(edges.select(col("y").as("v"), col("x").as("n")))
-      val ranked = adj.withColumn("rk",
-        row_number().over(Window.partitionBy(col("v")).orderBy(col("n"))))
-        .localCheckpoint()
-      val deg = ranked.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val keptDir = ranked.filter(col("rk") <= cap).select(col("v"), col("n"))
-      // symmetric survival: (x,y) kept iff y is in x's capped list AND
-      // x is in y's — a semi join of the two directed halves
-      val kept = keptDir.filter(col("v") < col("n"))
-        .select(col("v").as("x"), col("n").as("y"))
-        .join(keptDir.filter(col("v") > col("n"))
-          .select(col("n").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
-        .localCheckpoint()
+      // shared derived base tables (GraphBase): both parquet-backed, so
+      // the ranking/degree/audit passes below are re-reads of a leaf scan
+      val edges = GraphBase.coPurchaseEdgesRaw(s, dir)
+      val deg = edges.select(col("x").as("v"))
+        .unionAll(edges.select(col("y").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val kept = GraphBase.cappedCoPurchase(s, dir, cap)
       // id-oriented exact count on the capped graph: with per-vertex
       // adjacency ≤ cap the wedge frame is ≤ N·cap²/2 rows at ANY scale —
       // no degree orientation needed

@@ -31,24 +31,9 @@ object MstOps {
   val q447BoruvkaMst: QueryDef = QueryDef(
     "q447_boruvka_mst",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val li = t.lineitem
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("ts"))
-      val wSeq = Window.partitionBy(col("p")).orderBy(col("ts"), col("sid"))
-      val supNation = t.supplier.select(col("s_suppkey").as("sid"),
-        col("s_nationkey").as("nk"))
-      val sym = li
-        .withColumn("nv", lead(col("sid"), 1).over(wSeq))
-        .where(col("nv").isNotNull && col("nv") =!= col("sid"))
-        .join(broadcast(supNation), Seq("sid"))
-        .join(broadcast(supNation.select(col("sid").as("nv"),
-          col("nk").as("nk2"))), Seq("nv"))
-        .where(col("nk") =!= col("nk2"))
-        .groupBy(least(col("nk"), col("nk2")).as("a"),
-          greatest(col("nk"), col("nk2")).as("b"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint() // read every round
+      // shared derived base table (GraphBase): undirected nation trade
+      // edges, parquet-backed — read every round
+      val sym = GraphBase.tradeEdgesUndirected(s, dir)
       var comp = sym.select(col("a").as("node"))
         .union(sym.select(col("b").as("node"))).distinct()
         .withColumn("c", col("node"))

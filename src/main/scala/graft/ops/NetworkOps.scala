@@ -87,16 +87,9 @@ object NetworkOps {
   val q247Modularity: QueryDef = QueryDef(
     "q247_modularity",
     (s, dir) => {
-      val li = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("pa"), col("pb"))
-        .localCheckpoint() // feeds degrees and the within-community count
+      // shared derived base table (GraphBase, distinct-support variant):
+      // feeds degrees and the within-community count
+      val edges = GraphBase.coPurchaseEdgesDistinct(s, dir)
       val brands = Tables(s, dir).part
         .select(col("p_partkey"), col("p_brand"))
       val deg = edges.select(col("pa").as("n")).union(edges.select(col("pb").as("n")))

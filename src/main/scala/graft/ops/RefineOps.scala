@@ -213,20 +213,9 @@ object RefineOps {
     (s, dir) => {
       val k = 3
       val rounds = 4
-      // dedupe (order, part) FIRST: each order then contributes a pair at
-      // most once, so support is a plain count(*) — no expand-based
-      // countDistinct on the pair-join output, and the self-join input is
-      // the smaller distinct set
-      val li = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("pa"), col("pb"))
-        .localCheckpoint() // peel rounds re-read the edge set, never lineitem
+      // shared derived base table (GraphBase, distinct-support variant):
+      // peel rounds re-read the parquet-backed edge set, never lineitem
+      val edges = GraphBase.coPurchaseEdgesDistinct(s, dir)
       val und = edges.select(col("pa").as("n"), col("pb").as("m"))
         .union(edges.select(col("pb").as("n"), col("pa").as("m")))
       val deg0 = und.groupBy(col("n")).agg(count(lit(1)).as("deg0"))

@@ -83,22 +83,9 @@ object SpectralOps {
     "q448_spectral_bipartition",
     (s, dir) => {
       val sp = Dialect(spark = true)
-      val t = Tables(s, dir)
-      val li = t.lineitem
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("ts"))
-      val wSeq = Window.partitionBy(col("p")).orderBy(col("ts"), col("sid"))
-      val supNation = t.supplier.select(col("s_suppkey").as("sid"),
-        col("s_nationkey").as("nk"))
-      val fullE = li
-        .withColumn("nv", lead(col("sid"), 1).over(wSeq))
-        .where(col("nv").isNotNull && col("nv") =!= col("sid"))
-        .join(broadcast(supNation), Seq("sid"))
-        .join(broadcast(supNation.select(col("sid").as("nv"),
-          col("nk").as("nk2"))), Seq("nv"))
-        .where(col("nk") =!= col("nk2"))
-        .groupBy(col("nk").as("du"), col("nk2").as("dv"))
-        .agg(count(lit(1)).as("w"))
+      // shared derived base table (GraphBase): directed nation trade edges
+      val fullE = GraphBase.tradeEdgesDirected(s, dir)
+        .select(col("u").as("du"), col("v").as("dv"), col("w"))
       val sym = fullE
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("du")).orderBy(col("w").desc, col("dv"))))

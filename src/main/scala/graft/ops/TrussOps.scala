@@ -47,24 +47,8 @@ object TrussOps {
     "q380_ktruss_peeling",
     (s, dir) => {
       val cap = 8
-      val li = Tables(s, dir).lineitem
-      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("x"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("y"))
-      val edges = a.join(b, "ok").filter(col("x") < col("y"))
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("x"), col("y"))
-        .localCheckpoint()
-      val adj = edges.select(col("x").as("v"), col("y").as("n"))
-        .unionAll(edges.select(col("y").as("v"), col("x").as("n")))
-      val ranked = adj.withColumn("rk",
-        row_number().over(Window.partitionBy(col("v")).orderBy(col("n"))))
-      val keptDir = ranked.filter(col("rk") <= cap).select(col("v"), col("n"))
-      var kept = keptDir.filter(col("v") < col("n"))
-        .select(col("v").as("x"), col("n").as("y"))
-        .join(keptDir.filter(col("v") > col("n"))
-          .select(col("n").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
-        .localCheckpoint()
+      // shared derived base table (GraphBase): capped co-purchase edges
+      var kept = GraphBase.cappedCoPurchase(s, dir, cap)
       val trace = (1 to Rounds).map { r =>
         val before = kept.count()
         kept = peel(kept).localCheckpoint() // the q21 per-level discipline

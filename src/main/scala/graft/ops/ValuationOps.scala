@@ -139,24 +139,9 @@ object ValuationOps {
     "q373_local_clustering",
     (s, dir) => {
       val cap = 8
-      val li = Tables(s, dir).lineitem
-      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("x"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("y"))
-      val edges = a.join(b, "ok").filter(col("x") < col("y"))
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("x"), col("y"))
-        .localCheckpoint()
-      val adj = edges.select(col("x").as("v"), col("y").as("n"))
-        .unionAll(edges.select(col("y").as("v"), col("x").as("n")))
-      val ranked = adj.withColumn("rk",
-        row_number().over(Window.partitionBy(col("v")).orderBy(col("n"))))
-      val keptDir = ranked.filter(col("rk") <= cap).select(col("v"), col("n"))
-      val kept = keptDir.filter(col("v") < col("n"))
-        .select(col("v").as("x"), col("n").as("y"))
-        .join(keptDir.filter(col("v") > col("n"))
-          .select(col("n").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
-        .localCheckpoint() // feeds degrees, wedges, and the triangle probe
+      // shared derived base table (GraphBase): capped co-purchase edges,
+      // parquet-backed — feeds degrees, wedges, and the triangle probe
+      val kept = GraphBase.cappedCoPurchase(s, dir, cap)
       val deg = kept.select(col("x").as("v")).unionAll(kept.select(col("y").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
       val wedges = kept.select(col("x").as("a"), col("y").as("b"))
