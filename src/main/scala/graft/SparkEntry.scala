@@ -50,7 +50,7 @@ object SparkEntry {
       SeriesDiagOps.all, RegressionOps.all, LongMemoryOps.all, MstOps.all, SpectralOps.all,
       HoltWintersOps.all, StationarityOps.all, CoxOps.all, OrderedAltOps.all,
       RansacOps.all, BayesAbOps.all, JoinPlanOps.all, AssocOps.all, StratifiedAssocOps.all, RecordsOps.all,
-      SeasonalCatalogOps.all
+      SeasonalCatalogOps.all, StoreDashboardQueries.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
