@@ -154,7 +154,43 @@ object ScaleGen {
     // dispatches on the scanned type either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
-    write(replicate(ev, Seq("event_id", "user_id")), "events")
+    val evScaled = replicate(ev, Seq("event_id", "user_id"))
+
+    // Optional 4th arg "zipf": AFTER replication, concentrate hot keys the
+    // way production traffic does (ScaleGen's default keeps the driver's
+    // uniform key shapes, so skew mitigations could only ever TIE, never
+    // win — r9 verdict #6). Deterministic gates on the globally-unique
+    // post-shift ids:
+    //  - events.user_id: ~20% of all events remapped to user 1 (a whale
+    //    account) — the single-task window-sort victim
+    //  - events.event_type: ~50% of the remaining gate remapped to 'view'
+    //    (~60% total) — the hot aggregate key q105 salts
+    //  - orders.o_custkey: ~20% of all orders remapped to customer 1 —
+    //    the readiness anti-join / lag-window victim (q33)
+    // Dimension FKs still land (user 1 / customer 1 exist in every copy).
+    val zipf = args.length > 3 && args(3) == "zipf"
+    if (zipf) {
+      val hotEv = evScaled
+        .withColumn("user_id",
+          when(pmod(xxhash64(col("event_id")), lit(5)) === 0, lit(1L))
+            .otherwise(col("user_id")))
+        .withColumn("event_type",
+          when(pmod(xxhash64(col("event_id"), lit(7)), lit(2)) === 0, lit("view"))
+            .otherwise(col("event_type")))
+      write(hotEv, "events")
+      val hotOrders = spark.read.parquet(s"$out/orders.parquet")
+        .withColumn("o_custkey",
+          when(pmod(xxhash64(col("o_orderkey")), lit(5)) === 0, lit(1L))
+            .otherwise(col("o_custkey")))
+      // rewrite via a temp dir: Spark cannot overwrite a path it is reading
+      hotOrders.write.mode("overwrite").parquet(s"$out/orders_zipf.parquet")
+      spark.read.parquet(s"$out/orders_zipf.parquet")
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/orders_zipf.parquet"), true)
+      println("[scalegen] zipf: hot user_id/event_type/o_custkey applied")
+    } else write(evScaled, "events")
 
     println(s"[scalegen] done: $out = $copies x $src")
     spark.stop()

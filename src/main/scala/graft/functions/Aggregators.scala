@@ -57,4 +57,33 @@ object Aggregators {
       math.pow(2.0, (i - 32).toDouble)
     }
   }
+
+  /** Bounded-state exact top-k-smallest of (ts, id) pairs — the
+    * skew-immune per-key top-k: partial state is ≤ k pairs per key per
+    * task, so a whale key that owns 20% of the corpus ships O(tasks × k)
+    * partials instead of forcing a single-task sort of its whole
+    * partition (the window row_number plan). reduce keeps a sorted
+    * ≤k-vector (insertion into ≤5 elements beats heap overhead at these
+    * k); merge is a k-way merge of two ≤k-vectors. SkewBench measures
+    * this plan against the window under a Zipf whale key.
+    */
+  final case class TopKBuf(pairs: Seq[(Long, Long)])
+
+  final class TopKEarliest(k: Int)
+      extends Aggregator[(Long, Long), TopKBuf, Seq[(Long, Long)]] {
+    private def insert(v: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+      if (v.size == k && ordGte(x, v.last)) v
+      else ((v :+ x).sorted).take(k)
+    private def ordGte(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 >= b._2)
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+    override def reduce(b: TopKBuf, in: (Long, Long)): TopKBuf =
+      TopKBuf(insert(b.pairs, in))
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf((a.pairs ++ b.pairs).sorted.take(k))
+    override def finish(b: TopKBuf): Seq[(Long, Long)] = b.pairs
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }
