@@ -8,15 +8,26 @@ import org.apache.spark.sql.expressions.Window
   * loop (count adjacent symbol pairs over weighted word types, merge
   * the argmax, repeat), not just q190's one-shot pair census.
   *
-  * Scale shape: BPE trains on word TYPES weighted by frequency, so
-  * after the initial token count the working frame is vocab-bounded —
-  * ten rounds of (pair census → 1-row argmax → regexp merge) over a
-  * ~|vocab|-row frame, localCheckpoint per round (the q21 discipline),
-  * with the argmax a driver-bounded 1-row action (the q342 idiom).
+  * Scale shape: BPE trains on word TYPES weighted by frequency, and the
+  * type dictionary is CAPPED at the top `VocabCap` types by (count desc,
+  * word asc) — the standard practical move (Sennrich trains from a
+  * word-frequency dictionary; rare types carry negligible pair mass), and
+  * the fix for the r10 finding that an UNCAPPED type frame is only
+  * "vocab-bounded" when the corpus obeys Heaps' law: on ScaleGen's
+  * worst-case corpus (globally-unique tail tokens, types ≈ token mass)
+  * the sf10 run held ~10⁷ 100-char strings through 10 localCheckpoint
+  * rounds and died (runner exit 52). With the cap the working frame is
+  * ≤ VocabCap rows at ANY corpus scale: ten rounds of (pair census →
+  * 1-row argmax → regexp merge), localCheckpoint per round (the q21
+  * discipline), argmax as a driver-bounded 1-row action (the q342
+  * idiom). The cap does not bind below ~2.6×10⁵ types, so sf0.01 gate
+  * and sf0.1 bench results are unchanged; the oracle spells the same
+  * cap with the same (count, word) tie order.
   */
 object BpeOps {
 
   private val Rounds = 10
+  private val VocabCap = 262144 // 2^18 types; binds only on vocab-linear corpora
 
   /** Greedy BPE merge trace: each word type becomes a comma-delimited
     * symbol string (',h,e,l,l,o,'), each round counts adjacent symbol
@@ -34,6 +45,8 @@ object BpeOps {
       var words = Tables(s, dir).documents
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        // top-VocabCap dictionary (TakeOrdered, never a full sort at scale)
+        .orderBy(col("c").desc, col("tok").asc).limit(VocabCap)
         .select(concat(lit(","),
           regexp_replace(col("tok"), "(.)", "$1,")).as("str"), col("c"))
         .localCheckpoint()
@@ -86,12 +99,13 @@ object BpeOps {
            |  (SELECT CAST(SUM((len(string_split(str, ',')) - 2) * c) AS BIGINT)
            |     FROM w$r) AS symbols_after""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH w0 AS MATERIALIZED (SELECT
-         |    ',' || regexp_replace(tok, '(.)', '\\1,', 'g') AS str,
-         |    CAST(COUNT(*) AS BIGINT) AS c
+      s"""WITH wdict AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
          |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '\\w+')) AS tok
          |        FROM documents)
-         |  GROUP BY 1),
+         |  GROUP BY 1 ORDER BY c DESC, tok LIMIT $VocabCap),
+         |w0 AS MATERIALIZED (SELECT
+         |    ',' || regexp_replace(tok, '(.)', '\\1,', 'g') AS str, c
+         |  FROM wdict),
          |$rounds
          |$traceRows
          |ORDER BY merge_round""".stripMargin
