@@ -50,7 +50,8 @@ object SparkEntry {
       SeriesDiagOps.all, RegressionOps.all, LongMemoryOps.all, MstOps.all, SpectralOps.all,
       HoltWintersOps.all, StationarityOps.all, CoxOps.all, OrderedAltOps.all,
       RansacOps.all, BayesAbOps.all, JoinPlanOps.all, AssocOps.all, StratifiedAssocOps.all, RecordsOps.all,
-      SeasonalCatalogOps.all, StoreDashboardQueries.all
+      SeasonalCatalogOps.all, StoreDashboardQueries.all,
+      SccOps.all, KmvSetOps.all, TopKOps.all, MerkleOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

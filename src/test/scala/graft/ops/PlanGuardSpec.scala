@@ -166,6 +166,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q463_mantel_haenszel"     -> 1,   // 1-row MH/CMH report onto the 5-stratum cells
     "q465_cramers_v"           -> 1,   // 1-row totals onto the 25-cell grid
     "q462_theils_u"            -> 1,   // 1-row entropy reports cross-joined
+    "q473_scc"                 -> 1,   // 1-row condensation-edge report onto the |V|-row label frame
+    "q474_kmv_setops"          -> 5,   // |types|-row sketch-array frame paired (model-sized at any SF)
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -327,7 +329,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q461_ordinal_concordance",// 15-cell grid self-pairing (the q153 model-sized idiom)
     "q462_theils_u",           // 1-row entropy reports cross-joined (the q217 idiom)
     "q463_mantel_haenszel",    // 1-row MH/CMH report onto the 5-stratum cells (the q215 idiom)
-    "q465_cramers_v")          // 1-row (n, r, k) totals onto the 25-cell grid (the q56 idiom)
+    "q465_cramers_v",          // 1-row (n, r, k) totals onto the 25-cell grid (the q56 idiom)
+    "q473_scc",                // 1-row condensation-edge report onto the |V|-row label frame (the q338 idiom)
+    "q474_kmv_setops")         // |types|-row sketch-array pairing (the q153 model-sized idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
