@@ -51,7 +51,8 @@ object SparkEntry {
       HoltWintersOps.all, StationarityOps.all, CoxOps.all, OrderedAltOps.all,
       RansacOps.all, BayesAbOps.all, JoinPlanOps.all, AssocOps.all, StratifiedAssocOps.all, RecordsOps.all,
       SeasonalCatalogOps.all, StoreDashboardQueries.all,
-      SccOps.all, KmvSetOps.all, TopKOps.all, MerkleOps.all
+      SccOps.all, KmvSetOps.all, TopKOps.all, MerkleOps.all,
+      PlannerOps.all, ShardOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -168,6 +168,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q462_theils_u"            -> 1,   // 1-row entropy reports cross-joined
     "q473_scc"                 -> 1,   // 1-row condensation-edge report onto the |V|-row label frame
     "q474_kmv_setops"          -> 5,   // |types|-row sketch-array frame paired (model-sized at any SF)
+    "q479_qerror_audit"        -> 1,   // 1-row count/ndv/actual aggregates cross-joined per edge
+    "q480_design_effect"       -> 1,   // 1-row global-moments broadcast onto the |segments| frame
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -331,7 +333,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q463_mantel_haenszel",    // 1-row MH/CMH report onto the 5-stratum cells (the q215 idiom)
     "q465_cramers_v",          // 1-row (n, r, k) totals onto the 25-cell grid (the q56 idiom)
     "q473_scc",                // 1-row condensation-edge report onto the |V|-row label frame (the q338 idiom)
-    "q474_kmv_setops")         // |types|-row sketch-array pairing (the q153 model-sized idiom)
+    "q474_kmv_setops",         // |types|-row sketch-array pairing (the q153 model-sized idiom)
+    "q479_qerror_audit",       // 1-row count/ndv/actual reports cross-joined per edge (the q217 idiom)
+    "q480_design_effect")      // 1-row global-moments broadcast onto the |segments| frame (the q56 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
