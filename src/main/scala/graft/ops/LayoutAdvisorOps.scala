@@ -10,9 +10,11 @@ import org.apache.spark.sql.expressions.Window
   * advisor decision). Both are planning reads: model-sized outputs,
   * exact integer evidence, no data rewritten.
   *
-  * Canonical row order for run/delta statistics is the (l_orderkey,
-  * l_linenumber) primary key — a TOTAL order, so both engines see
-  * identical adjacencies. The global rank/lag windows are the q152
+  * Canonical row order for run/delta statistics is (l_orderkey,
+  * l_linenumber, <every analyzed column>) — the driver data carries
+  * duplicate (order, linenumber) pairs, so the key is extended until
+  * ties are only between identical rows and adjacencies are engine-
+  * invariant. The global rank/lag windows are the q152
   * single-partition bound: fine to ~10⁸ rows, range-partition the sort
   * beyond that.
   */
@@ -23,22 +25,40 @@ object LayoutAdvisorOps {
     * the standard ladder — RLE when the average run is ≥ 4 (compared as
     * 4·runs ≤ n, exact integers), else DICT when the dictionary fits
     * 16 bits, else DELTA when an integer column's max adjacent step
-    * fits 16 bits, else PLAIN. */
+    * fits 16 bits, else PLAIN.
+    *
+    * Scale shape: NO global sort. The PK order is recovered from
+    * VALUE-RANGE buckets of l_orderkey (order-preserving across buckets
+    * because the bucket is a monotone function of the leading key and
+    * l_linenumber never crosses buckets): adjacency statistics run
+    * inside each bucket's window in parallel, and the one adjacency per
+    * bucket BOUNDARY is stitched from a model-sized (first, last)-row
+    * frame — the SkewBench hot/cold-split stitch, here as the default
+    * plan. The oracle keeps the one-window global-order spelling:
+    * identical results, clarity over speed on the oracle side. */
   val q481EncodingAdvisor: QueryDef = QueryDef(
     "q481_encoding_advisor",
     (s, dir) => {
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
       val li = Tables(s, dir).lineitem.select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
         col("l_quantity").cast("long").as("l_qty"),
         col("l_returnflag"), col("l_linestatus"))
+        .withColumn("bkt", (col("l_orderkey") / 1024L).cast("long"))
       val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_qty")
       val strCols = Seq("l_returnflag", "l_linestatus")
-      val lagged = (intCols ++ strCols).foldLeft(li) { (df, c) =>
+      val allCols = intCols ++ strCols
+      // (l_orderkey, l_linenumber) is NOT unique in the driver data —
+      // the canonical order appends every analyzed column, so ties are
+      // only between fully-identical rows and run statistics are
+      // order-invariant in both engines
+      val canonical = Seq("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_qty", "l_returnflag", "l_linestatus").map(col)
+      val w = Window.partitionBy(col("bkt")).orderBy(canonical: _*)
+      val lagged = allCols.foldLeft(li) { (df, c) =>
         df.withColumn(s"${c}_prev", lag(col(c), 1).over(w))
       }
-      val aggs = (intCols ++ strCols).flatMap { c =>
+      val aggs = allCols.flatMap { c =>
         Seq(
           countDistinct(col(c)).as(s"${c}_ndv"),
           (lit(1L) + sum(when(col(s"${c}_prev").isNotNull &&
@@ -47,7 +67,35 @@ object LayoutAdvisorOps {
         max(when(col(s"${c}_prev").isNotNull,
           abs(col(c) - col(s"${c}_prev")))).as(s"${c}_delta")
       } :+ count(lit(1)).as("n")
-      val wide = lagged.agg(aggs.head, aggs.tail: _*)
+      val inBucket = lagged.agg(aggs.head, aggs.tail: _*)
+      // boundary stitch: each bucket's first/last row (min/max of the
+      // PK-led struct), then the one adjacency per consecutive-bucket
+      // pair over the model-sized bucket frame
+      val rowStruct = struct(canonical: _*)
+      val edges = li.groupBy(col("bkt"))
+        .agg(min(rowStruct).as("first"), max(rowStruct).as("last"))
+      val wB = Window.orderBy(col("bkt"))
+      val boundary = edges
+        .withColumn("prev_last", lag(col("last"), 1).over(wB))
+        .filter(col("prev_last").isNotNull)
+      val bAggs = allCols.map { c =>
+        sum(when(col(s"first.$c") =!= col(s"prev_last.$c"), 1L)
+          .otherwise(0L)).as(s"${c}_bruns")
+      } ++ intCols.map { c =>
+        max(abs(col(s"first.$c") - col(s"prev_last.$c"))).as(s"${c}_bdelta")
+      }
+      val bWide = boundary.agg(bAggs.head, bAggs.tail: _*)
+      // total runs = 1 + within-bucket breaks + boundary breaks;
+      // max delta = max(within, boundary)
+      val wide = inBucket.crossJoin(broadcast(bWide))
+        .select((Seq(col("n")) ++ allCols.flatMap { c =>
+          Seq(col(s"${c}_ndv"),
+            (col(s"${c}_runs") + coalesce(col(s"${c}_bruns"), lit(0L)))
+              .as(s"${c}_runs"))
+        } ++ intCols.map { c =>
+          greatest(col(s"${c}_delta"), coalesce(col(s"${c}_bdelta"), lit(0L)))
+            .as(s"${c}_delta")
+        }): _*)
       val stackExpr = (intCols.map { c =>
         s"'$c', ${c}_ndv, ${c}_runs, ${c}_delta"
       } ++ strCols.map { c =>
@@ -86,8 +134,10 @@ object LayoutAdvisorOps {
            |1 + CAST(SUM(CASE WHEN ${c}_prev IS NOT NULL AND $c <> ${c}_prev
            |  THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_runs""".stripMargin
       }.mkString(",\n")
+      val canonicalSql = "l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        "l_qty, l_returnflag, l_linestatus"
       val lags = (intCols ++ strCols).map { c =>
-        s"LAG($c, 1) OVER (ORDER BY l_orderkey, l_linenumber) AS ${c}_prev"
+        s"LAG($c, 1) OVER (ORDER BY $canonicalSql) AS ${c}_prev"
       }.mkString(",\n")
       s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |    CAST(l_quantity AS BIGINT) AS l_qty, l_returnflag, l_linestatus
@@ -125,10 +175,15 @@ object LayoutAdvisorOps {
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), unix_micros(col("l_shipdate").cast("timestamp"))
           .as("ship_us"))
+      // same tie hazard as q481: extend every layout key until ties are
+      // only between rows identical in all audited columns, so bucket
+      // assignment (and therefore every zone map) is engine-invariant
+      val tieTail = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("ship_us"))
       val layouts = Seq(
-        "pk"       -> Seq(col("l_orderkey"), col("l_linenumber")),
-        "shipdate" -> Seq(col("ship_us"), col("l_orderkey"), col("l_linenumber")),
-        "partkey"  -> Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")))
+        "pk"       -> tieTail,
+        "shipdate" -> (col("ship_us") +: tieTail),
+        "partkey"  -> (col("l_partkey") +: tieTail))
       val loEpoch = 820454400000000L  // 1996-01-01 UTC, µs
       val hiEpoch = 828316800000000L  // 1996-04-01 UTC, µs (exclusive)
       val frames = layouts.map { case (name, key) =>
@@ -160,10 +215,12 @@ object LayoutAdvisorOps {
       frames.reduce(_.unionByName(_))
     },
     Some {
+      val tieTail = "l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        "epoch_us(l_shipdate)"
       val layouts = Seq(
-        "pk"       -> "l_orderkey, l_linenumber",
-        "shipdate" -> "epoch_us(l_shipdate), l_orderkey, l_linenumber",
-        "partkey"  -> "l_partkey, l_orderkey, l_linenumber")
+        "pk"       -> tieTail,
+        "shipdate" -> s"epoch_us(l_shipdate), $tieTail",
+        "partkey"  -> s"l_partkey, $tieTail")
       layouts.map { case (name, key) =>
         s"""SELECT '$name' AS layout,
            |  CAST(COUNT(*) AS BIGINT) AS n_buckets,

@@ -17,7 +17,10 @@ class LayoutAdvisorOpsSpec extends SparkTestBase {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity").cast("long"),
         col("l_returnflag"), col("l_linestatus"))
-      .collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+      // the operator's canonical TOTAL order: (okey, ln) is not unique in
+      // the driver data, so the key extends over every analyzed column
+      .collect().sortBy(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6)))
     def intSeq(i: Int) = data.map(_.getLong(i)).toSeq
     def strSeq(i: Int) = data.map(_.getString(i)).toSeq
     def runsOf[T](xs: Seq[T]): Long =

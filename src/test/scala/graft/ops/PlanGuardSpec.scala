@@ -169,6 +169,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q473_scc"                 -> 1,   // 1-row condensation-edge report onto the |V|-row label frame
     "q474_kmv_setops"          -> 5,   // |types|-row sketch-array frame paired (model-sized at any SF)
     "q479_qerror_audit"        -> 1,   // 1-row count/ndv/actual aggregates cross-joined per edge
+    "q481_encoding_advisor"    -> 1,   // 1-row boundary-stitch report onto the 1-row in-bucket report
     "q480_design_effect"       -> 1,   // 1-row global-moments broadcast onto the |segments| frame
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
@@ -335,6 +336,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q473_scc",                // 1-row condensation-edge report onto the |V|-row label frame (the q338 idiom)
     "q474_kmv_setops",         // |types|-row sketch-array pairing (the q153 model-sized idiom)
     "q479_qerror_audit",       // 1-row count/ndv/actual reports cross-joined per edge (the q217 idiom)
+    "q481_encoding_advisor",   // 1-row boundary-stitch report x 1-row in-bucket report (the q217 idiom)
     "q480_design_effect")      // 1-row global-moments broadcast onto the |segments| frame (the q56 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
