@@ -182,13 +182,17 @@ object ScaleGen {
         .withColumn("o_custkey",
           when(pmod(xxhash64(col("o_orderkey")), lit(5)) === 0, lit(1L))
             .otherwise(col("o_custkey")))
-      // rewrite via a temp dir: Spark cannot overwrite a path it is reading
+      // rewrite via a temp dir (Spark cannot overwrite a path it is
+      // reading), then atomically swap with delete + rename — a second
+      // overwrite-write would leave NO orders table if the JVM died
+      // between its delete and its commit
       hotOrders.write.mode("overwrite").parquet(s"$out/orders_zipf.parquet")
-      spark.read.parquet(s"$out/orders_zipf.parquet")
-        .write.mode("overwrite").parquet(s"$out/orders.parquet")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$out/orders_zipf.parquet"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/orders.parquet"), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$out/orders_zipf.parquet"),
+        new org.apache.hadoop.fs.Path(s"$out/orders.parquet")),
+        s"rename orders_zipf -> orders failed under $out")
       println("[scalegen] zipf: hot user_id/event_type/o_custkey applied")
     } else write(evScaled, "events")
 

@@ -84,7 +84,9 @@ object SkewBench {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      try { body; Thread.sleep(500) }
+      // drain the async bus before reading the counter — a fixed sleep
+      // silently drops late task-end events on a loaded machine
+      try { body; org.apache.spark.sql.graftbridge.ColumnBridge.flushListenerBus(spark) }
       finally spark.sparkContext.removeSparkListener(listener)
       records.get()
     }

@@ -45,8 +45,26 @@ object GraphBase {
   // (dataset dir | variant) -> materialized parquet path, per JVM
   private val cache = scala.collection.mutable.Map[String, String]()
 
+  // The bench harness spawns many short-lived child/re-pin JVMs, each
+  // materializing its own per-pid variants; without cleanup /tmp grows
+  // unboundedly across runs. One shutdown hook per JVM removes every
+  // directory this process built (pid-scoped paths stay race-free
+  // between concurrent JVMs; a shared pid-independent path would need
+  // cross-process locking for no bench win).
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      cache.synchronized(cache.values.toList)
+        .foreach(p => rm(new java.io.File(p)))
+    }, "graphbase-tmp-cleanup")): Unit
+  }
+
   private def materialized(s: SparkSession, key: String)
                           (build: => DataFrame): DataFrame = {
+    cleanupHook
     val path = cache.synchronized {
       cache.getOrElseUpdate(key, {
         val digest = java.security.MessageDigest.getInstance("MD5")
@@ -108,9 +126,8 @@ object GraphBase {
     }
 
   /** Directed per-vertex capped adjacency (v, n) of an (x, y) edge list:
-    * rank each vertex's neighbors by id, keep the lowest `cap`. Exposed
-    * for q338's drop audit, which needs the intermediate frame. */
-  def cappedDirected(edges: DataFrame, cap: Int): DataFrame = {
+    * rank each vertex's neighbors by id, keep the lowest `cap`. */
+  private def cappedDirected(edges: DataFrame, cap: Int): DataFrame = {
     val adj = edges.select(col("x").as("v"), col("y").as("n"))
       .unionAll(edges.select(col("y").as("v"), col("x").as("n")))
     adj.withColumn("rk",

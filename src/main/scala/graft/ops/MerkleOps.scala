@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * physical-layout layer. Every digest is exact integer algebra; the
   * oracle mirrors fingerprints bit-for-bit (q169's md5-prefix
   * convention).
+  *
+  * Collision bound (the standard Merkle trade-off): XOR cancels any
+  * duplicated fingerprint pair, so two DIVERGED buckets with EQUAL row
+  * counts can collide and report in_sync with probability ~2^-60 per
+  * bucket (60-bit fingerprints) — an anti-entropy sketch, not a proof.
+  * For THIS snapshot pair the check happens to be exact: the replica is
+  * a strict subset of the primary (a time cut), so any divergence shows
+  * up in the count comparison before the digest is even consulted.
   */
 object MerkleOps {
 

@@ -22,6 +22,12 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Drain the async listener bus (private[spark]) so SparkListener-based
+    * metric counters are complete before they are read — a fixed sleep
+    * silently undercounts on a loaded machine. */
+  def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows is
     * private[sql]) — the entry point for whole-operator extensions like
     * graft.plans.AsofJoinPlan. */

@@ -3,9 +3,13 @@ package graft.ops
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
-/** q476 semantics: a bucket is in_sync iff the replica cut truly lost no
-  * rows there; the repair plan's rescan cost equals the primary mass of
-  * exactly the diverged buckets. */
+/** q476 fixture-level check: on THIS snapshot pair (replica = strict
+  * time-cut subset of primary) divergence always shows in the count
+  * comparison, so in_sync coincides exactly with "no post-cut rows in
+  * the bucket". In general the digest is a sketch — two diverged
+  * equal-count buckets collide with ~2^-60 probability (see the
+  * MerkleOps header) — so this equivalence is a property of the
+  * fixture, not an iff-law of the operator. */
 class MerkleOpsSpec extends SparkTestBase {
 
   test("q476: in_sync <=> no post-cut rows in the bucket; rescan = dirty primary mass") {

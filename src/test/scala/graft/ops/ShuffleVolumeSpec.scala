@@ -23,9 +23,9 @@ class ShuffleVolumeSpec extends SparkTestBase {
     spark.sparkContext.addSparkListener(listener)
     try {
       body
-      // listenerBus is private[spark]; a short quiesce drains task-end
-      // events (collect() above already joined the jobs)
-      Thread.sleep(500)
+      // drain the async bus fully — a fixed sleep drops late task-end
+      // events on a loaded machine
+      org.apache.spark.sql.graftbridge.ColumnBridge.flushListenerBus(spark)
     } finally spark.sparkContext.removeSparkListener(listener)
     records.get()
   }
@@ -71,7 +71,7 @@ class ShuffleVolumeSpec extends SparkTestBase {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    try { body; Thread.sleep(500) }
+    try { body; org.apache.spark.sql.graftbridge.ColumnBridge.flushListenerBus(spark) }
     finally spark.sparkContext.removeSparkListener(listener)
     maxRead.get()
   }
