@@ -52,7 +52,8 @@ object SparkEntry {
       RansacOps.all, BayesAbOps.all, JoinPlanOps.all, AssocOps.all, StratifiedAssocOps.all, RecordsOps.all,
       SeasonalCatalogOps.all, StoreDashboardQueries.all,
       SccOps.all, KmvSetOps.all, TopKOps.all, MerkleOps.all,
-      PlannerOps.all, ShardOps.all, LayoutAdvisorOps.all
+      PlannerOps.all, ShardOps.all, LayoutAdvisorOps.all,
+      FreqMomentOps.all, WaveletOps.all, DtwOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -171,6 +171,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q479_qerror_audit"        -> 1,   // 1-row count/ndv/actual aggregates cross-joined per edge
     "q481_encoding_advisor"    -> 1,   // 1-row boundary-stitch report onto the 1-row in-bucket report
     "q480_design_effect"       -> 1,   // 1-row global-moments broadcast onto the |segments| frame
+    "q483_ams_f2"              -> 1,   // 1-row sketch estimate x 1-row exact-truth report
+    "q484_haar_synopsis"       -> 1,   // 1-row total/kept-energy broadcasts onto the 9-coefficient synopsis
+    "q485_dtw_warp"            -> 1,   // 1-row reference-series broadcast onto the |nations| frame
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -337,7 +340,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q474_kmv_setops",         // |types|-row sketch-array pairing (the q153 model-sized idiom)
     "q479_qerror_audit",       // 1-row count/ndv/actual reports cross-joined per edge (the q217 idiom)
     "q481_encoding_advisor",   // 1-row boundary-stitch report x 1-row in-bucket report (the q217 idiom)
-    "q480_design_effect")      // 1-row global-moments broadcast onto the |segments| frame (the q56 idiom)
+    "q480_design_effect",      // 1-row global-moments broadcast onto the |segments| frame (the q56 idiom)
+    "q483_ams_f2",             // 1-row sketch estimate x 1-row exact truth (the q215 idiom)
+    "q484_haar_synopsis",      // 1-row Parseval totals onto the 9-row synopsis
+    "q485_dtw_warp")           // 1-row reference series onto the |nations| frame (the q56 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
