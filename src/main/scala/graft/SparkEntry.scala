@@ -53,7 +53,8 @@ object SparkEntry {
       SeasonalCatalogOps.all, StoreDashboardQueries.all,
       SccOps.all, KmvSetOps.all, TopKOps.all, MerkleOps.all,
       PlannerOps.all, ShardOps.all, LayoutAdvisorOps.all,
-      FreqMomentOps.all, WaveletOps.all, DtwOps.all
+      FreqMomentOps.all, WaveletOps.all, DtwOps.all,
+      CacheSimOps.all, SpatialOps.all, PrioritySampleOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -174,6 +174,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q483_ams_f2"              -> 1,   // 1-row sketch estimate x 1-row exact-truth report
     "q484_haar_synopsis"       -> 1,   // 1-row total/kept-energy broadcasts onto the 9-coefficient synopsis
     "q485_dtw_warp"            -> 1,   // 1-row reference-series broadcast onto the |nations| frame
+    "q486_reuse_distance"      -> 1,   // 1-row class-totals broadcast onto the <=G-row distance histogram
+    "q488_priority_sample"     -> 1,   // 1-row tau threshold onto the 64-row sample frame
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -343,7 +345,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q480_design_effect",      // 1-row global-moments broadcast onto the |segments| frame (the q56 idiom)
     "q483_ams_f2",             // 1-row sketch estimate x 1-row exact truth (the q215 idiom)
     "q484_haar_synopsis",      // 1-row Parseval totals onto the 9-row synopsis
-    "q485_dtw_warp")           // 1-row reference series onto the |nations| frame (the q56 idiom)
+    "q485_dtw_warp",           // 1-row reference series onto the |nations| frame (the q56 idiom)
+    "q486_reuse_distance",     // 1-row class totals onto the distance histogram (the q56 idiom)
+    "q488_priority_sample")    // 1-row tau onto the 64-row sample (the q215 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
