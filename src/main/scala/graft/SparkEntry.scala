@@ -54,7 +54,8 @@ object SparkEntry {
       SccOps.all, KmvSetOps.all, TopKOps.all, MerkleOps.all,
       PlannerOps.all, ShardOps.all, LayoutAdvisorOps.all,
       FreqMomentOps.all, WaveletOps.all, DtwOps.all,
-      CacheSimOps.all, SpatialOps.all, PrioritySampleOps.all
+      CacheSimOps.all, SpatialOps.all, PrioritySampleOps.all,
+      CslsOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
