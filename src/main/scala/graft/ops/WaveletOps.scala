@@ -14,11 +14,15 @@ import org.apache.spark.sql.expressions.Window
   * Parseval energy accounting — the number a synopsis planner compares
   * against an equi-depth histogram's (q152) before choosing.
   *
-  * Exactness across engines: the series is integer dollars
-  * (floor(extendedprice·(1−discount)) summed), the UNNORMALIZED Haar
-  * recurrence (pairwise sum / signed difference) stays in BIGINT at
-  * every level, and Parseval energies are scaled by 64 to stay integer:
-  * a detail coefficient d at level ℓ (support 2^ℓ) carries
+  * Exactness across engines: the series is integer KILOdollars — per-row
+  * floor(extendedprice·(1−discount)) dollars summed per day, then
+  * floor-divided by 1000 (at sf10 a day holds ~1.25e9 dollars; Parseval
+  * energies square the 64-day TOTAL and carry a ×64 scale, so dollar
+  * units would overflow BIGINT ~6.5e19 already at sf1 — kilodollar units
+  * keep the worst term ≤ ~2e17 with headroom past sf100). The
+  * UNNORMALIZED Haar recurrence (pairwise sum / signed difference) stays
+  * in BIGINT at every level, and Parseval energies are scaled by 64 to
+  * stay integer: a detail coefficient d at level ℓ (support 2^ℓ) carries
   * e = d²·(64/2^ℓ), and Σ_coef e = 64·Σ_t x_t². Shares are single
   * BIGINT/BIGINT double divisions — bit-identical both engines.
   *
@@ -47,7 +51,8 @@ object WaveletOps {
       val spine = s.range(N).select(col("id").cast("int").as("pos"))
       val l0 = spine.join(li, Seq("pos"), "left")
         .na.fill(0L, Seq("a"))
-        .select(col("pos").cast("long").as("pos"), col("a"))
+        .select(col("pos").cast("long").as("pos"),
+          floor(col("a") / 1000).cast("long").as("a")) // kilodollar units
         .localCheckpoint() // reused by 6 levels + the energy total
 
       // unrolled cascade: level k halves the frame, emitting the detail
@@ -91,7 +96,7 @@ object WaveletOps {
             .as("kept_energy_frac"))
     },
     Some(s"""WITH l0 AS (
-        SELECT CAST(sp.pos AS BIGINT) AS pos, COALESCE(v.a, 0) AS a
+        SELECT CAST(sp.pos AS BIGINT) AS pos, COALESCE(v.a, 0) // 1000 AS a
         FROM range($N) sp(pos)
         LEFT JOIN (
           SELECT date_diff('day', DATE '1995-01-01',
