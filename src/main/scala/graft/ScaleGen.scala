@@ -183,16 +183,21 @@ object ScaleGen {
           when(pmod(xxhash64(col("o_orderkey")), lit(5)) === 0, lit(1L))
             .otherwise(col("o_custkey")))
       // rewrite via a temp dir (Spark cannot overwrite a path it is
-      // reading), then atomically swap with delete + rename — a second
-      // overwrite-write would leave NO orders table if the JVM died
-      // between its delete and its commit
+      // reading), then swap rename-aside-first: move the live table to
+      // orders_old, rename the staging dir into place, delete orders_old.
+      // A crash mid-swap always leaves a complete table on disk (either
+      // orders_old or orders.parquet) rather than only the staging dir.
       hotOrders.write.mode("overwrite").parquet(s"$out/orders_zipf.parquet")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$out/orders.parquet"), true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$out/orders_zipf.parquet"),
-        new org.apache.hadoop.fs.Path(s"$out/orders.parquet")),
-        s"rename orders_zipf -> orders failed under $out")
+      val live  = new org.apache.hadoop.fs.Path(s"$out/orders.parquet")
+      val stage = new org.apache.hadoop.fs.Path(s"$out/orders_zipf.parquet")
+      val old   = new org.apache.hadoop.fs.Path(s"$out/orders_old.parquet")
+      fs.delete(old, true) // clear any remnant from a prior crashed swap
+      require(fs.rename(live, old), s"rename orders -> orders_old failed under $out")
+      require(fs.rename(stage, live),
+        s"rename orders_zipf -> orders failed under $out (recover from orders_old)")
+      fs.delete(old, true)
       println("[scalegen] zipf: hot user_id/event_type/o_custkey applied")
     } else write(evScaled, "events")
 

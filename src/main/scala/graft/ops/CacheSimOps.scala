@@ -71,15 +71,21 @@ object CacheSimOps {
         sum(when(col("prv").isNull, 1L).otherwise(0L)).as("cold_misses"),
         sum(when(col("prv").isNotNull && col("pos") - col("prv") > G, 1L)
           .otherwise(0L)).as("far_misses"))
-      val curve = reuses
-        .crossJoin(broadcast(classes)) // 1-row class totals
+      // drive the curve from the Sizes spine (not from reuses): a trace
+      // with zero in-cap reuses must still emit the 4-row curve with
+      // hits=0 rather than silently dropping the report
+      val sizesDf = s.range(1)
+        .select(explode(array(Sizes.map(lit(_)): _*)).as("cache_size"))
+      val hitsBySize = reuses
         .select(explode(array(Sizes.map(lit(_)): _*)).as("cache_size"),
-          col("d"), col("n"), col("total"), col("cold_misses"),
-          col("far_misses"))
-        .groupBy(col("cache_size"), col("total"), col("cold_misses"),
-          col("far_misses"))
+          col("d"), col("n"))
+        .groupBy(col("cache_size"))
         .agg(sum(when(col("d") <= col("cache_size"), col("n"))
           .otherwise(0L)).as("hits"))
+      val curve = sizesDf
+        .join(hitsBySize, Seq("cache_size"), "left")
+        .na.fill(0L, Seq("hits"))
+        .crossJoin(broadcast(classes)) // 1-row class totals
       curve.select(col("cache_size"), col("hits"),
         (col("total") - col("cold_misses") - col("far_misses") - col("hits"))
           .as("capped_misses"),
@@ -114,11 +120,13 @@ object CacheSimOps {
             THEN 1 ELSE 0 END) AS BIGINT) AS far_misses
         FROM marked),
       curve AS (
+        -- LEFT JOIN from the size spine: a trace with no in-cap reuses
+        -- still yields the 4-row curve with hits=0
         SELECT cs.cache_size,
-          CAST(SUM(CASE WHEN r.d <= cs.cache_size THEN r.n ELSE 0 END)
-            AS BIGINT) AS hits
+          CAST(COALESCE(SUM(CASE WHEN r.d <= cs.cache_size THEN r.n
+            ELSE 0 END), 0) AS BIGINT) AS hits
         FROM (VALUES ${Sizes.map(c => s"($c)").mkString(", ")})
-          cs(cache_size), reuses r
+          cs(cache_size) LEFT JOIN reuses r ON TRUE
         GROUP BY 1)
       SELECT CAST(cv.cache_size AS BIGINT) AS cache_size, cv.hits,
         c.total - c.cold_misses - c.far_misses - cv.hits AS capped_misses,

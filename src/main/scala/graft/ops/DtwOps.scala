@@ -42,9 +42,13 @@ object DtwOps {
         .join(broadcast(t.customer.select(col("c_custkey"),
           col("c_nationkey").as("nk"))), col("o_custkey") === col("c_custkey"))
         .select(col("nk"),
-          (datediff(col("o_orderdate").cast("date"),
-            lit("1995-01-01").cast("date")) / 7).cast("long").as("pos"))
-        .filter(col("pos") >= 0 && col("pos") < N)
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).as("dd"))
+        // filter the RAW day offset before the /7 division: cast_long
+        // truncates toward zero, so dd in -6..-1 would otherwise land in
+        // week 0 while the oracle's BETWEEN 0 AND 7N-1 excludes it
+        .filter(col("dd") >= 0 && col("dd") < 7 * N)
+        .select(col("nk"), (col("dd") / 7).cast("long").as("pos"))
         .groupBy(col("nk"), col("pos")).agg(count(lit(1)).as("c"))
       val spine = t.nation.select(col("n_nationkey").as("nk"), col("n_name"),
         explode(sequence(lit(0L), lit((N - 1).toLong))).as("pos"))

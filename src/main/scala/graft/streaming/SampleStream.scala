@@ -36,11 +36,14 @@ object SampleStream {
   /** The maintained reservoir: top-K by (es_key desc, doc_id asc). */
   final class SampleStore {
     private var kept = Vector.empty[Kept]
-    private val applied = scala.collection.mutable.Set[Long]()
+    // batch ids are monotonically increasing per streaming query, so a
+    // single high-water mark suffices for replay dedup — an applied-set
+    // would grow without bound on a genuinely unbounded stream
+    private var lastApplied = -1L
 
     def merge(batchId: Long, rows: Seq[Kept]): Unit = synchronized {
-      if (!applied.contains(batchId)) {
-        applied += batchId
+      if (batchId > lastApplied) {
+        lastApplied = batchId
         kept = (kept ++ rows)
           .sortBy(k => (-k.esKey, k.docId))
           .take(K)

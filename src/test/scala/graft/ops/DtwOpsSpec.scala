@@ -26,9 +26,10 @@ class DtwOpsSpec extends SparkTestBase {
       .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_nationkey").as("nk"),
-        (datediff(col("o_orderdate").cast("date"),
-          lit("1995-01-01").cast("date")) / 7).cast("long").as("pos"))
-      .filter(col("pos") >= 0 && col("pos") < 32)
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("dd"))
+      .filter(col("dd") >= 0 && col("dd") < 7 * 32) // raw-day filter, then /7
+      .select(col("nk"), (col("dd") / 7).cast("long").as("pos"))
       .groupBy(col("nk"), col("pos")).count()
       .collect()
       .groupBy(_.getAs[Int]("nk"))

@@ -15,14 +15,18 @@ class WaveletOpsSpec extends SparkTestBase {
       "ranks must be 0..8 exactly once")
 
     // the level-6 approx coefficient of the unnormalized transform IS the
-    // series total: recompute the 64-day dollar revenue independently
+    // series total: recompute the 64-day KILOdollar revenue independently,
+    // matching l0's per-day quantization (sum dollars per day, THEN
+    // floor-divide each day by 1000, then sum the 64 day values)
     val truth = Tables(spark, sfDir).lineitem
       .select(datediff(col("l_shipdate").cast("date"),
         lit("1995-01-01").cast("date")).as("pos"),
         floor(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("long").as("r"))
       .filter(col("pos") >= 0 && col("pos") < 64)
-      .agg(sum(col("r"))).head().getLong(0)
+      .groupBy(col("pos")).agg(sum(col("r")).as("day"))
+      .select(floor(col("day") / 1000).cast("long").as("kd"))
+      .agg(sum(col("kd"))).head().getLong(0)
     val approx = rows.find(_.getAs[String]("kind") == "approx").get
     assert(approx.getAs[Long]("rank") == 0L)
     assert(approx.getAs[Long]("coef") == truth,
