@@ -86,4 +86,129 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[(Long, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  // ——————————————— mergeable quantile sketch (KLL-style, derandomized) ———————————————
+
+  /** Sketch state: `levels(l)` holds items of weight 2^l; `parity(l)`
+    * counts compactions done at level l (its low bit picks even/odd-index
+    * survivors, halving the one-sided bias of a fixed rule); `err` is an
+    * EXACT upper bound on the rank perturbation introduced so far —
+    * every compaction at level l adds 2^l to it (compacting a sorted
+    * 2m-item weight-w buffer into m items of weight 2w shifts any rank
+    * query by at most w). */
+  final case class QSketchBuf(levels: Seq[Seq[Long]], parity: Seq[Long],
+                              n: Long, err: Long)
+
+  /** Finished summary: (value, weight) pairs NOT yet sorted across
+    * levels, plus the exact error budget. Query with
+    * [[QuantileSketch.query]]. */
+  final case class QSummary(values: Seq[Long], weights: Seq[Long],
+                            n: Long, err: Long, maxW: Long)
+
+  /** Deterministic KLL-style mergeable quantile sketch over Long.
+    *
+    * Why not GK: Greenwald–Khanna summaries do not merge with preserved
+    * ε (merged error is ε₁+ε₂ and keeps growing up the merge tree); the
+    * KLL compactor hierarchy merges by level-wise concatenation with the
+    * SAME per-compaction error accounting as the insert path, which is
+    * what a Spark Aggregator needs — `merge` runs once per map-side
+    * partial, in an order chosen by the shuffle, so the bound must hold
+    * for EVERY merge tree. Randomized KLL gets ε = O(1/k) with
+    * √-variance; this derandomized variant (parity-alternated survivor
+    * selection instead of a coin) keeps the deterministic worst-case
+    * bound err ≤ Σ_l c_l·2^l ≈ n·log₂(n/k)/k, which the buffer tracks
+    * EXACTLY — callers never reason about the formula, they read `err`.
+    *
+    * State per group: ≤ k·log₂(n/k) longs. At 100 TB (n ≈ 10¹²,
+    * k = 256) that is ~40 levels × 256 longs ≈ 80 KB per aggregation
+    * group — constant-memory map-side partials where an exact quantile
+    * would shuffle the full column.
+    */
+  final class QuantileSketch(k: Int) extends Aggregator[Long, QSketchBuf, QSummary] {
+    require(k >= 8 && k % 2 == 0, s"capacity k=$k must be even and >= 8")
+
+    override def zero: QSketchBuf = QSketchBuf(Vector(Vector.empty), Vector(0L), 0L, 0L)
+
+    override def reduce(b: QSketchBuf, v: Long): QSketchBuf = {
+      val l0 = b.levels.head :+ v
+      compact(QSketchBuf(l0 +: b.levels.tail, b.parity, b.n + 1, b.err))
+    }
+
+    override def merge(a: QSketchBuf, b: QSketchBuf): QSketchBuf = {
+      val h = math.max(a.levels.size, b.levels.size)
+      val lv = (0 until h).map { l =>
+        a.levels.lift(l).getOrElse(Vector.empty) ++
+          b.levels.lift(l).getOrElse(Vector.empty)
+      }
+      val pr = (0 until h).map { l =>
+        a.parity.lift(l).getOrElse(0L) + b.parity.lift(l).getOrElse(0L)
+      }
+      compact(QSketchBuf(lv, pr, a.n + b.n, a.err + b.err))
+    }
+
+    /** Cascade: any level at/above capacity is sorted and halved; an odd
+      * straggler (the max) stays at its level so every kept item keeps an
+      * exact weight. */
+    private def compact(b0: QSketchBuf): QSketchBuf = {
+      var levels = b0.levels.toVector
+      var parity = b0.parity.toVector
+      var err = b0.err
+      var l = 0
+      while (l < levels.size) {
+        if (levels(l).size >= k) {
+          val sorted = levels(l).sorted
+          val (toCompact, keepHere) =
+            if (sorted.size % 2 == 0) (sorted, Vector.empty[Long])
+            else (sorted.init, Vector(sorted.last))
+          val offset = (parity(l) % 2).toInt // alternate even/odd survivors
+          val up = toCompact.indices.collect {
+            case i if i % 2 == offset => toCompact(i)
+          }.toVector
+          if (levels.size == l + 1) { levels :+= Vector.empty; parity :+= 0L }
+          levels = levels
+            .updated(l, keepHere)
+            .updated(l + 1, levels(l + 1) ++ up)
+          parity = parity.updated(l, parity(l) + 1)
+          err += 1L << l
+        }
+        l += 1
+      }
+      QSketchBuf(levels, parity, b0.n, err)
+    }
+
+    override def finish(b: QSketchBuf): QSummary = {
+      val vw = b.levels.zipWithIndex.flatMap { case (items, l) =>
+        items.map(v => (v, 1L << l))
+      }
+      val maxW = if (vw.isEmpty) 1L else vw.map(_._2).max
+      QSummary(vw.map(_._1), vw.map(_._2), b.n, b.err, maxW)
+    }
+
+    override def bufferEncoder: Encoder[QSketchBuf] = Encoders.product[QSketchBuf]
+    override def outputEncoder: Encoder[QSummary] = Encoders.product[QSummary]
+  }
+
+  object QuantileSketch {
+    val k256 = new QuantileSketch(256)
+
+    /** Smallest stored value whose estimated rank (cumulative weight in
+      * value order) reaches `targetRank`. Guarantee (two-sided, duplicate-
+      * safe): for the returned v and budget = err + maxW,
+      * count(< v) ≤ target + budget and count(≤ v) ≥ target − budget —
+      * i.e. the target rank falls inside v's true rank interval widened
+      * by the budget (err covers the summary's compaction drift, maxW
+      * the cumulative-weight step granularity). */
+    def query(s: QSummary, targetRank: Long): Long = {
+      require(s.values.nonEmpty, "empty sketch")
+      val sorted = s.values.zip(s.weights).sortBy(_._1)
+      var cum = 0L
+      var i = 0
+      while (i < sorted.size) {
+        cum += sorted(i)._2
+        if (cum >= targetRank) return sorted(i)._1
+        i += 1
+      }
+      sorted.last._1
+    }
+  }
 }
