@@ -40,15 +40,19 @@ object AggMaintStream {
   final class ViewStore {
     private val partials =
       scala.collection.mutable.Map[String, (Long, java.math.BigDecimal)]()
-    private val applied = scala.collection.mutable.Set[Long]()
+    // batch ids are monotonically increasing per query: a high-water mark
+    // gives the same retry idempotence in O(1) state (an applied-SET
+    // would grow forever on an unbounded stream — SampleStream's r11 fix)
+    private var lastApplied = -1L
 
-    /** Merge one micro-batch's partial rows; a batch id that was already
-      * applied is skipped (exactly-once under foreachBatch retries). */
+    /** Merge one micro-batch's partial rows; a batch id at/below the
+      * high-water mark is skipped (exactly-once under foreachBatch
+      * retries). */
     def merge(batchId: Long,
               rows: Seq[(String, Long, java.math.BigDecimal)]): Unit =
       synchronized {
-        if (!applied.contains(batchId)) {
-          applied += batchId
+        if (batchId > lastApplied) {
+          lastApplied = batchId
           rows.foreach { case (key, pn, pv) =>
             val (n0, v0) = partials.getOrElse(
               key, (0L, java.math.BigDecimal.ZERO))
