@@ -55,7 +55,8 @@ object SparkEntry {
       PlannerOps.all, ShardOps.all, LayoutAdvisorOps.all,
       FreqMomentOps.all, WaveletOps.all, DtwOps.all,
       CacheSimOps.all, SpatialOps.all, PrioritySampleOps.all,
-      CslsOps.all, QuantileSelOps.all
+      CslsOps.all, QuantileSelOps.all, ReservoirAuditOps.all,
+      SuffixDupOps.all, JoinSizeOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

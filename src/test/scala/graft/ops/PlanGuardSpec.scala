@@ -176,6 +176,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q485_dtw_warp"            -> 1,   // 1-row reference-series broadcast onto the |nations| frame
     "q486_reuse_distance"      -> 1,   // 1-row class-totals broadcast onto the <=G-row distance histogram
     "q488_priority_sample"     -> 1,   // 1-row tau threshold onto the 64-row sample frame
+    "q491_reservoir_coverage"  -> 1,   // 1-row grand-chars total onto the |sources| frame
+    "q493_join_size_sketch"    -> 1,   // 1-row sketch estimate x 1-row exact-truth report
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -347,7 +349,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q484_haar_synopsis",      // 1-row Parseval totals onto the 9-row synopsis
     "q485_dtw_warp",           // 1-row reference series onto the |nations| frame (the q56 idiom)
     "q486_reuse_distance",     // 1-row class totals onto the distance histogram (the q56 idiom)
-    "q488_priority_sample")    // 1-row tau onto the 64-row sample (the q215 idiom)
+    "q488_priority_sample",    // 1-row tau onto the 64-row sample (the q215 idiom)
+    "q491_reservoir_coverage", // 1-row grand-chars total onto the |sources| frame (the q56 idiom)
+    "q493_join_size_sketch")   // 1-row sketch estimate x 1-row exact truth (the q215 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
