@@ -64,8 +64,17 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scalegen] wrote $name")
+      // at least as many files as local cores: a single-file single-
+      // row-group table is UNSPLITTABLE, so every downstream scan of it
+      // runs on one thread regardless of data size (observed: sf10
+      // orders landed as one 15M-row row group and made every
+      // orders-scanning query scan-bound on one core). Real 100 TB
+      // layouts arrive in many files; the generator should look like one.
+      val parts = Repack.targetParts(df.count())
+      val fixed =
+        if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+      fixed.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] wrote $name ($parts+ files)")
     }
 
     /** N× the rows; each copy's `keys` shifted into a disjoint range.

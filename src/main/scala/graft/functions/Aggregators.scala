@@ -191,6 +191,48 @@ object Aggregators {
   object QuantileSketch {
     val k256 = new QuantileSketch(256)
 
+    /** Partition-local mutable fold — the SAME algebra as the
+      * Aggregator's reduce/compact path (QuantileSketchSpec pins
+      * bit-identical outputs for any single-stream input), but with
+      * ArrayBuffer mutation instead of a per-row case-class + Vector
+      * copy: ~10× less allocation on the hot path. Use
+      * `mapPartitions(it => Iterator.single(foldPartition(it, k)))` then
+      * `treeReduce(sketch.merge)` — the treeAggregate shape that keeps
+      * the merge fan-in off the driver at cluster partition counts. */
+    def foldPartition(it: Iterator[Long], k: Int): QSketchBuf = {
+      import scala.collection.mutable.ArrayBuffer
+      val levels = ArrayBuffer(ArrayBuffer.empty[Long])
+      val parity = ArrayBuffer(0L)
+      var n = 0L
+      var err = 0L
+      while (it.hasNext) {
+        levels(0) += it.next()
+        n += 1
+        if (levels(0).size >= k) {
+          var l = 0
+          while (l < levels.size) {
+            if (levels(l).size >= k) {
+              val sorted = levels(l).sorted
+              val oddTail = sorted.size % 2 == 1
+              val toCompact = if (oddTail) sorted.dropRight(1) else sorted
+              val offset = (parity(l) % 2).toInt
+              if (levels.size == l + 1) {
+                levels += ArrayBuffer.empty[Long]; parity += 0L
+              }
+              var i = offset
+              while (i < toCompact.size) { levels(l + 1) += toCompact(i); i += 2 }
+              levels(l) = if (oddTail) ArrayBuffer(sorted.last)
+                          else ArrayBuffer.empty[Long]
+              parity(l) += 1
+              err += 1L << l
+            }
+            l += 1
+          }
+        }
+      }
+      QSketchBuf(levels.map(_.toVector).toVector, parity.toVector, n, err)
+    }
+
     /** Smallest stored value whose estimated rank (cumulative weight in
       * value order) reaches `targetRank`. Guarantee (two-sided, duplicate-
       * safe): for the returned v and budget = err + maxW,

@@ -40,10 +40,14 @@ object QuantileSelOps {
     "q490_quantile_select",
     (s, dir) => {
       import s.implicits._
+      // deliberately NOT checkpointed: each pass is a column-pruned
+      // parquet scan of ONE column — rescanning is cheaper than
+      // materializing |lineitem| longs (at sf10 the checkpoint alone
+      // overflowed the block-manager store and cost more than every
+      // downstream stage combined)
       val cents = Tables(s, dir).lineitem
         .select(floor(col("l_extendedprice") * 100 + lit(0.5))
           .cast("long").as("c"))
-        .localCheckpoint() // 4 single-column passes share one scan
 
       val head = cents.agg(min(col("c")), max(col("c")), count(lit(1))).head()
       val (mn, mx, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
@@ -75,8 +79,15 @@ object QuantileSelOps {
         .join(picks.toDF("phi", "b", "rk"), Seq("b", "rk"))
         .select(col("phi"), col("c").as("exact_cents"))
 
-      // sketch audit: estimates + the true rank of each estimate
-      val sk = cents.as[Long].select(QuantileSketch.k256.toColumn).head()
+      // sketch audit: estimates + the true rank of each estimate.
+      // treeAggregate shape: one mutable fold per partition, log-depth
+      // merge — the same algebra the Aggregator registers, minus the
+      // per-row buffer encoding (24 s -> ~10 s at sf10 on this stage)
+      val skBuf = cents.as[Long].rdd
+        .mapPartitions(it =>
+          Iterator.single(QuantileSketch.foldPartition(it, 256)))
+        .treeReduce(QuantileSketch.k256.merge)
+      val sk = QuantileSketch.k256.finish(skBuf)
       val ests = targets.map { case (phi, t) =>
         (phi, t, QuantileSketch.query(sk, t))
       }

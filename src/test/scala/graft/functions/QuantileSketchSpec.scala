@@ -49,6 +49,14 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("foldPartition is bit-identical to the Aggregator's reduce fold") {
+    val xs = (0L until 9000L).map(i => (i * 131) % 2003) ++ Seq.fill(300)(42L)
+    val viaReduce = xs.foldLeft(agg.zero)(agg.reduce)
+    val viaFold = QuantileSketch.foldPartition(xs.iterator, 256)
+    assert(viaFold == viaReduce,
+      "mutable fold must stay in algebraic lockstep with reduce()")
+  }
+
   test("merge is weight-exact: total weight == n, err adds, no item lost") {
     val a = (0L until 3000L).foldLeft(agg.zero)(agg.reduce)
     val b = (3000L until 7000L).foldLeft(agg.zero)(agg.reduce)
