@@ -56,7 +56,10 @@ object SparkEntry {
       FreqMomentOps.all, WaveletOps.all, DtwOps.all,
       CacheSimOps.all, SpatialOps.all, PrioritySampleOps.all,
       CslsOps.all, QuantileSelOps.all, ReservoirAuditOps.all,
-      SuffixDupOps.all, JoinSizeOps.all
+      SuffixDupOps.all, JoinSizeOps.all,
+      SeqPatOps.all, PermTestOps.all, MarkovChainOps.all,
+      ImputeOps.all, UniverseSampleOps.all,
+      SlidingDistinctOps.all, CurationFunnelOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

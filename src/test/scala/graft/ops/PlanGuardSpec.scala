@@ -178,6 +178,12 @@ class PlanGuardSpec extends SparkTestBase {
     "q488_priority_sample"     -> 1,   // 1-row tau threshold onto the 64-row sample frame
     "q491_reservoir_coverage"  -> 1,   // 1-row grand-chars total onto the |sources| frame
     "q493_join_size_sketch"    -> 1,   // 1-row sketch estimate x 1-row exact-truth report
+    "q494_seqpat_mining"       -> 1,   // 1-row n_events / n_tri totals onto the <=|types|^3 frame
+    "q495_perm_test"           -> 1,   // 1-row observed-stat / size broadcasts onto the replicate frames
+    "q496_markov_stationary"   -> 1,   // 1-row transition grand total onto the |states| frame
+    "q498_universe_sample"     -> 3,   // 3-row rate dimension + 1-row exact truth onto the degree frame
+    "q499_sliding_distinct"    -> 40,  // calendar-bounded day spine (<=31 days) + 1-row bounds
+    "q500_curation_funnel"     -> 5,   // 5-row stage spine onto the <=5-row depth histogram
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -351,7 +357,13 @@ class PlanGuardSpec extends SparkTestBase {
     "q486_reuse_distance",     // 1-row class totals onto the distance histogram (the q56 idiom)
     "q488_priority_sample",    // 1-row tau onto the 64-row sample (the q215 idiom)
     "q491_reservoir_coverage", // 1-row grand-chars total onto the |sources| frame (the q56 idiom)
-    "q493_join_size_sketch")   // 1-row sketch estimate x 1-row exact truth (the q215 idiom)
+    "q493_join_size_sketch",   // 1-row sketch estimate x 1-row exact truth (the q215 idiom)
+    "q494_seqpat_mining",      // 1-row n_events/n_tri totals onto the |types|³ frame (the q56 idiom)
+    "q495_perm_test",          // 1-row observed/size broadcasts onto the R-replicate frame (the q311 idiom)
+    "q496_markov_stationary",  // 1-row grand total onto the |states| frame (the q56 idiom)
+    "q498_universe_sample",    // 3-row rate sweep + 1-row exact truth (the q213 sweep idiom)
+    "q499_sliding_distinct",   // calendar-bounded day spine for the exact leg (the q426 idiom)
+    "q500_curation_funnel")    // 5-row stage spine x ≤5-row depth histogram (the q316 lattice idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
