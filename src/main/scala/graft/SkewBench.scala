@@ -226,12 +226,47 @@ object SkewBench {
         s"hot/cold split sequence-lag diverged from the window plan: ($dn,$dns) vs ($ds,$dss)")
     }
 
+    // ——— claim 4: priority-sample subset-sum error on the whale customer ———
+    // q488's estimator pitch IS skew robustness: any item with w_i ≥ τ is
+    // kept deterministically, so a whale subset cannot silently lose its
+    // mass the way Bernoulli row sampling can. Measured: estimate the top
+    // customer's revenue from a k-item priority sample (q488's exact
+    // priorities) against the exact subset total, k ∈ {64, 1024}. Under
+    // the Zipf corpus the whale holds ~20% of orders — the subset the
+    // estimator bounds are supposed to protect.
+    val ordersW = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("w"))
+      .withColumn("h", conv(substring(md5(concat(lit("ps|"),
+        col("o_orderkey").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("q", col("w").cast("double") *
+        lit(1.152921504606846976e18) / (col("h").cast("double") + 1.0))
+      .localCheckpoint()
+    val whaleRow = ordersW.groupBy(col("o_custkey")).count()
+      .orderBy(col("count").desc, col("o_custkey")).head()
+    val (whaleKey, whaleOrders) = (whaleRow.getLong(0), whaleRow.getLong(1))
+    val whaleStats = ordersW.agg(
+      sum(when(col("o_custkey") === whaleKey, col("w")).otherwise(lit(0L))),
+      sum(col("w"))).head()
+    val (exactWhale, totalW) = (whaleStats.getLong(0), whaleStats.getLong(1))
+    def psSubsetErr(k: Int): (Double, Int) = {
+      val top = ordersW.orderBy(col("q").desc, col("o_orderkey"))
+        .limit(k + 1).collect()
+      val tau = top.last.getAs[Double]("q")
+      val kept = top.take(k).filter(_.getAs[Long]("o_custkey") == whaleKey)
+      val est = kept.map(r =>
+        math.max(r.getAs[Long]("w").toDouble, tau)).sum
+      (math.abs(est - exactWhale) / exactWhale, kept.length)
+    }
+    val (psErr64, psKept64) = psSubsetErr(64)
+    val (psErr1024, psKept1024) = psSubsetErr(1024)
+
     // ——— the pre-flight that detects the skew ———
     val skewRows = graft.ops.AuditOps.q143SkewAudit.fn(spark, dir).collect()
       .map(r => s"""{"key":"${r.getString(0)}","skew":${r.getDouble(4)}}""")
       .mkString("[", ",", "]")
 
-    println(s"""{"metric":"skewbench","sf":"$dir","q105_salted":$salted,"q105_plain":$plain,"topk_window_naive":$naiveT,"topk_salted_two_stage":$saltedT,"topk_bounded_agg":$boundedT,"topk_shuffle_rows_window":$naiveShuffle,"topk_shuffle_rows_bounded":$boundedShuffle,"topk_rows":$nc,"readiness_anti_join":$readiness,"deps_lag_window_naive":$depsNaiveT,"deps_lag_hotcold_split":$depsSaltedT,"hot_keys":${hotKeys.length},"skew_audit":$skewRows}""")
+    println(s"""{"metric":"skewbench","sf":"$dir","q105_salted":$salted,"q105_plain":$plain,"topk_window_naive":$naiveT,"topk_salted_two_stage":$saltedT,"topk_bounded_agg":$boundedT,"topk_shuffle_rows_window":$naiveShuffle,"topk_shuffle_rows_bounded":$boundedShuffle,"topk_rows":$nc,"readiness_anti_join":$readiness,"deps_lag_window_naive":$depsNaiveT,"deps_lag_hotcold_split":$depsSaltedT,"hot_keys":${hotKeys.length},"ps_whale_orders":$whaleOrders,"ps_whale_mass":${exactWhale.toDouble / totalW},"ps_kept_k64":$psKept64,"ps_err_k64":$psErr64,"ps_kept_k1024":$psKept1024,"ps_err_k1024":$psErr1024,"skew_audit":$skewRows}""")
     spark.stop()
   }
 }
