@@ -59,7 +59,7 @@ object SparkEntry {
       SuffixDupOps.all, JoinSizeOps.all,
       SeqPatOps.all, PermTestOps.all, MarkovChainOps.all,
       ImputeOps.all, UniverseSampleOps.all,
-      SlidingDistinctOps.all, CurationFunnelOps.all
+      SlidingDistinctOps.all, CurationFunnelOps.all, DatalogOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.plans.Datalog._
+
+/** The datalog rule surface exercised against the test tables — the
+  * query-language-diversity leg of the store's declarative backends
+  * (reference store/datomic.clj:89-133: `dependent?` is a NON-LINEAR
+  * recursive rule, `jobs-ready'` is negation over a `blocked?` rule
+  * with a not= guard; both rule SHAPES evaluate here verbatim through
+  * `graft.plans.Datalog`, compiled to DataFrame joins instead of a
+  * fact-store index).
+  *
+  * Scale shape (q501): the doubling rule dep(X,A) ← dep(X,B) ∧ dep(B,A)
+  * makes the closure converge in O(log diameter) semi-naive rounds —
+  * each round one equi-join of the DELTA against the accumulated set +
+  * one anti-join, checkpointed (the q21/GraphOps fixpoint discipline,
+  * but DERIVED from the rule shape by the engine rather than
+  * hand-written). q502 is join + anti-join, no iteration: negation
+  * compiles to left_anti, the same plan StoreViews.jobsReady declares
+  * by hand.
+  *
+  * Exactness: closure pairs and counts are BIGINT; no floats anywhere.
+  */
+object DatalogOps {
+
+  val q501DatalogDependents: QueryDef = QueryDef(
+    "q501_datalog_dependents",
+    (s, dir) => {
+      // the q101 dependency DAG: parts, child → {child/2, child/3}
+      val p = Tables(s, dir).part
+        .select(col("p_partkey").cast("long").as("child"))
+      val edges = p.filter(col("child") > 1)
+        .select(col("child"), expr("child div 2").as("parent"))
+        .union(p.filter(col("child") > 2)
+          .select(col("child"), expr("child div 3").as("parent"))
+          .filter(col("parent") =!= expr("child div 2")))
+      // the reference's dependent? rule pair, verbatim shape
+      val program = Program(Seq(
+        Rule(Atom("dep", Seq(V("x"), V("a"))),
+          Seq(Atom("edge", Seq(V("x"), V("a"))))),
+        Rule(Atom("dep", Seq(V("x"), V("a"))),
+          Seq(Atom("dep", Seq(V("x"), V("b"))),
+            Atom("dep", Seq(V("b"), V("a")))))))
+      program.run(Map("edge" -> edges), "dep")
+        .groupBy(col("_p1").as("node"))
+        .agg(count(lit(1)).as("n_dependents"))
+        .orderBy(col("n_dependents").desc, col("node"))
+        .limit(20)
+    },
+    Some("""WITH RECURSIVE edges AS (
+        SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part
+          WHERE p_partkey > 1
+        UNION ALL
+        SELECT p_partkey, p_partkey // 3 FROM part
+          WHERE p_partkey > 2 AND p_partkey // 3 <> p_partkey // 2),
+      dep(x, a) AS (
+        SELECT child, parent FROM edges
+        UNION
+        SELECT d.x, e.parent FROM dep d JOIN edges e ON e.child = d.a)
+      SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_dependents
+      FROM dep GROUP BY 1
+      ORDER BY n_dependents DESC, node LIMIT 20"""))
+
+  val q502DatalogReady: QueryDef = QueryDef(
+    "q502_datalog_ready",
+    (s, dir) => {
+      // jobs-from-orders fixture: order status → FSM status, dependency
+      // child → child/2 (dangling parents block nothing, both engines)
+      val jobs = Tables(s, dir).orders
+        .select(col("o_orderkey").as("j"),
+          when(col("o_orderstatus") === "F", lit("finished"))
+            .when(col("o_orderstatus") === "P", lit("started"))
+            .otherwise(lit("unstarted")).as("status"))
+      val deps = jobs.select(col("j")).filter(col("j") > 1)
+        .select(col("j"), expr("j div 2").as("d"))
+      // the reference's blocked?/ready rule pair, verbatim shape
+      val program = Program(Seq(
+        Rule(Atom("blocked", Seq(V("j"))),
+          Seq(Atom("dep", Seq(V("j"), V("d"))),
+            Atom("job", Seq(V("d"), V("s")))),
+          Seq(Guard("!=", V("s"), C("finished")))),
+        Rule(Atom("ready", Seq(V("j"))),
+          Seq(Atom("job", Seq(V("j"), C("unstarted"))),
+            Atom("blocked", Seq(V("j")), negated = true)))))
+      val ready = program.run(
+        Map("job" -> jobs, "dep" -> deps), "ready")
+        .agg(count(lit(1)).as("n_ready"), sum(col("_p0")).as("ready_key_sum"))
+      val totals = jobs.agg(count(lit(1)).as("n_jobs"),
+        sum(when(col("status") === "unstarted", lit(1L)).otherwise(lit(0L)))
+          .as("n_unstarted"))
+      totals.crossJoin(broadcast(ready))
+        .select(col("n_jobs"), col("n_unstarted"), col("n_ready"),
+          (col("n_unstarted") - col("n_ready")).as("n_blocked_unstarted"),
+          col("ready_key_sum"))
+    },
+    Some("""WITH jobs AS (
+        SELECT o_orderkey AS j,
+          CASE WHEN o_orderstatus = 'F' THEN 'finished'
+               WHEN o_orderstatus = 'P' THEN 'started'
+               ELSE 'unstarted' END AS status
+        FROM orders),
+      deps AS (SELECT j, j // 2 AS d FROM jobs WHERE j > 1),
+      blocked AS (
+        SELECT DISTINCT dp.j FROM deps dp
+        JOIN jobs pj ON pj.j = dp.d AND pj.status <> 'finished'),
+      ready AS (
+        SELECT j.j FROM jobs j
+        WHERE j.status = 'unstarted'
+          AND NOT EXISTS (SELECT 1 FROM blocked b WHERE b.j = j.j))
+      SELECT CAST((SELECT COUNT(*) FROM jobs) AS BIGINT) AS n_jobs,
+        CAST((SELECT COUNT(*) FROM jobs WHERE status = 'unstarted')
+          AS BIGINT) AS n_unstarted,
+        CAST((SELECT COUNT(*) FROM ready) AS BIGINT) AS n_ready,
+        CAST((SELECT COUNT(*) FROM jobs WHERE status = 'unstarted')
+          - (SELECT COUNT(*) FROM ready) AS BIGINT) AS n_blocked_unstarted,
+        CAST((SELECT SUM(j) FROM ready) AS BIGINT) AS ready_key_sum"""))
+
+  val all: Seq[QueryDef] = Seq(q501DatalogDependents, q502DatalogReady)
+}

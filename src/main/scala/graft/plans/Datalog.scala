@@ -169,8 +169,7 @@ object Datalog {
         val stratumRels = idb.filter(layer(_) == st)
         val stratumRules = rules.filter(r => stratumRels.contains(r.head.rel))
         val recursive = stratumRels.filter { rel =>
-          stratumRules.exists(_.body.exists(a =>
-            !a.negated && stratumRels.contains(a.rel)))
+          stratumRules.exists(_.body.exists(a => !a.negated && a.rel == rel))
         }
         // seed: fire every rule with recursive atoms bound to EMPTY —
         // i.e. only firings that need no same-stratum fact yet

@@ -1,0 +1,127 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.engine._
+import graft.plans.Datalog._
+
+/** The datalog engine against the reference's own rule fixtures: the
+  * 7-configuration readiness truth table, the transitive-dependents
+  * doubling rule, the liveness guard — each must agree with the
+  * driver-side store — plus engine laws (stratification rejection,
+  * logarithmic non-linear closure). */
+class DatalogSpec extends SparkTestBase {
+
+  private def matrixStore(): InMemoryJobStore = {
+    val s = new InMemoryJobStore; s.install()
+    val jobs = (1 to 9).map(i => Job(s"j$i", s"type-j$i"))
+    val deps = Seq(Dep("j3", "j2"), Dep("j5", "j4"), Dep("j6", "j3"),
+      Dep("j6", "j4"), Dep("j8", "j9"))
+    s.transactGraph(JobGraph(jobs, deps))
+    s.reserveJob("j2")
+    s.reserveJob("j4"); s.finishJob("j4")
+    s.abortJob("j7")
+    s.reserveJob("j9"); s.failJob("j9", None)
+    s
+  }
+
+  private def edb(s: InMemoryJobStore) = {
+    import org.apache.spark.sql.functions._
+    val jobs = StoreViews.jobsDF(spark, s).toDF()
+      .select(col("id"), col("status"))
+    val deps = StoreViews.depsDF(spark, s).toDF()
+      .select(col("jobId"), col("depId"))
+    (jobs, deps)
+  }
+
+  private val readyRules = Seq(
+    Rule(Atom("blocked", Seq(V("j"))),
+      Seq(Atom("dep", Seq(V("j"), V("d"))),
+        Atom("job", Seq(V("d"), V("s")))),
+      Seq(Guard("!=", V("s"), C(JobStatus.Finished)))),
+    Rule(Atom("ready", Seq(V("j"))),
+      Seq(Atom("job", Seq(V("j"), C(JobStatus.Unstarted))),
+        Atom("blocked", Seq(V("j")), negated = true))))
+
+  test("readiness truth table: rules agree with the store (j1, j5)") {
+    val s = matrixStore()
+    val (jobs, deps) = edb(s)
+    val ready = Program(readyRules)
+      .run(Map("job" -> jobs, "dep" -> deps), "ready")
+      .collect().map(_.getString(0)).toSet
+    assert(ready == s.jobsReady())
+    assert(ready == Set("j1", "j5"))
+  }
+
+  test("dependents doubling rule == driver BFS on the diamond + chain") {
+    val s = new InMemoryJobStore; s.install()
+    val jobs = Seq("a", "b", "c", "d", "e", "f").map(i => Job(i, s"t-$i"))
+    // diamond a→{b,c}→d plus chain d→e→f (x→y = x depends on y)
+    val deps = Seq(Dep("a", "b"), Dep("a", "c"), Dep("b", "d"),
+      Dep("c", "d"), Dep("d", "e"), Dep("e", "f"))
+    s.transactGraph(JobGraph(jobs, deps))
+    val (_, depDf) = edb(s)
+    val program = Program(Seq(
+      Rule(Atom("dep", Seq(V("x"), V("a"))),
+        Seq(Atom("edge", Seq(V("x"), V("a"))))),
+      Rule(Atom("dep", Seq(V("x"), V("a"))),
+        Seq(Atom("dep", Seq(V("x"), V("b"))),
+          Atom("dep", Seq(V("b"), V("a")))))))
+    val closure = program.run(Map("edge" -> depDf), "dep")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // transitive dependents of "e" = everything that can reach it
+    val dependentsOfE = closure.filter(_._2 == "e").map(_._1)
+    assert(dependentsOfE ==
+      JobGraph.dependents(deps, Set("e")), "driver BFS agrees")
+    assert(dependentsOfE == Set("a", "b", "c", "d"))
+    // full closure spot-law: a reaches every other node
+    assert(closure.filter(_._1 == "a").map(_._2) ==
+      Set("b", "c", "d", "e", "f"))
+  }
+
+  test("liveness guard rule == store.jobsDead") {
+    val s = matrixStore()
+    val now = System.currentTimeMillis() / 1000
+    s.updateJob("j2", _ => true, _.copy(heartbeat = Some(now - 1000)))
+    import org.apache.spark.sql.functions._
+    val hb = StoreViews.jobsDF(spark, s).toDF()
+      .filter(col("status") === JobStatus.Started)
+      .select(col("id"), coalesce(col("heartbeat"), lit(0L)).as("h"))
+    val dead = Program(Seq(
+      Rule(Atom("dead", Seq(V("j"))),
+        Seq(Atom("job_hb", Seq(V("j"), V("h")))),
+        Seq(Guard("<", V("h"), C(now - 100))))))
+      .run(Map("job_hb" -> hb), "dead")
+      .collect().map(_.getString(0)).toSet
+    assert(dead == s.jobsDead(now - 100))
+    assert(dead == Set("j2"))
+  }
+
+  test("negation cycle is rejected as unstratifiable") {
+    val cyclic = Program(Seq(
+      Rule(Atom("p", Seq(V("x"))),
+        Seq(Atom("base", Seq(V("x"))),
+          Atom("q", Seq(V("x")), negated = true))),
+      Rule(Atom("q", Seq(V("x"))),
+        Seq(Atom("base", Seq(V("x"))),
+          Atom("p", Seq(V("x")), negated = true)))))
+    assertThrows[IllegalArgumentException](cyclic.strata)
+  }
+
+  test("non-linear closure of a 16-chain: correct and round-efficient") {
+    import spark.implicits._
+    val edges = (1 until 16).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("c", "p")
+    val program = Program(Seq(
+      Rule(Atom("dep", Seq(V("x"), V("a"))),
+        Seq(Atom("edge", Seq(V("x"), V("a"))))),
+      Rule(Atom("dep", Seq(V("x"), V("a"))),
+        Seq(Atom("dep", Seq(V("x"), V("b"))),
+          Atom("dep", Seq(V("b"), V("a")))))))
+    val closure = program.run(Map("edge" -> edges), "dep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      x <- 1 to 16; a <- 1 to 16 if x < a
+    } yield (x.toLong, a.toLong)).toSet
+    assert(closure == expected, "closure of the 16-chain is all x < a pairs")
+  }
+}
