@@ -59,7 +59,8 @@ object SparkEntry {
       SuffixDupOps.all, JoinSizeOps.all,
       SeqPatOps.all, PermTestOps.all, MarkovChainOps.all,
       ImputeOps.all, UniverseSampleOps.all,
-      SlidingDistinctOps.all, CurationFunnelOps.all, DatalogOps.all
+      SlidingDistinctOps.all, CurationFunnelOps.all, DatalogOps.all,
+      BitemporalOps.all, FunnelWindowOps.all, CdcOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
