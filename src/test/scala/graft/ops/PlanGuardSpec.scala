@@ -187,6 +187,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q502_datalog_ready"       -> 1,   // 1-row ready-count report onto the 1-row totals
     "q503_bitemporal_asof"     -> 4,   // 4-row (valid, tx) cutoff grid
     "q505_cdc_upsert"          -> 1,   // 1-row ledger pivot + 1-row final-state report
+    "q506_rejection_resample"  -> 1,   // 1-row c_min / bin-count / accepted-total broadcasts
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -369,7 +370,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q500_curation_funnel",    // 5-row stage spine x ≤5-row depth histogram (the q316 lattice idiom)
     "q502_datalog_ready",      // 1-row ready-count report onto the 1-row totals (the q215 idiom)
     "q503_bitemporal_asof",    // 4-row (valid, tx) cutoff grid onto the fact log (the q213 sweep idiom)
-    "q505_cdc_upsert")         // 1-row ledger pivot + 1-row final-state report (the q215 idiom)
+    "q505_cdc_upsert",         // 1-row ledger pivot + 1-row final-state report (the q215 idiom)
+    "q506_rejection_resample") // 1-row c_min / bin-count / accepted-total broadcasts (the q56 idiom)
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
