@@ -155,7 +155,9 @@ object Datalog {
           require(bound.contains(n), s"head var $n unbound"); col(n).as(s"_p$i")
         case (C(v), i) => lit(v).as(s"_p$i")
       }
-      acc.select(proj: _*).distinct()
+      // RAW projection — the caller dedups ONCE per head per round (one
+      // distinct + one anti-join instead of one per firing)
+      acc.select(proj: _*)
     }
 
     /** Run the program over extensional relations `edb`; returns the
@@ -175,40 +177,42 @@ object Datalog {
         // i.e. only firings that need no same-stratum fact yet
         var full = Map.empty[String, DataFrame]
         var delta = Map.empty[String, DataFrame]
+        var seeds = Map.empty[String, Seq[DataFrame]]
         stratumRules.foreach { r =>
           val usesRec = r.body.exists(a =>
             !a.negated && recursive.contains(a.rel))
           if (!usesRec) {
             val f = fire(r, rels, Set.empty, -1, Map.empty)
-            val prev = full.get(r.head.rel)
-            full = full.updated(r.head.rel,
-              prev.map(_.unionByName(f).distinct()).getOrElse(f))
+            seeds = seeds.updated(r.head.rel,
+              seeds.getOrElse(r.head.rel, Nil) :+ f)
           }
         }
-        full = full.map { case (k, v) => k -> v.localCheckpoint() }
+        full = seeds.map { case (k, fs) =>
+          k -> fs.reduceLeft(_.unionByName(_)).distinct().localCheckpoint()
+        }
         delta = full
         // semi-naive rounds
         var changed = full.nonEmpty && recursive.nonEmpty
         while (changed) {
           val avail = rels ++ full
-          var next = Map.empty[String, DataFrame]
+          // RAW firings gathered per head; dedup + anti-join ONCE per head
+          var raw = Map.empty[String, Seq[DataFrame]]
           stratumRules.foreach { r =>
-            val recAtoms = r.body.count(a =>
-              !a.negated && recursive.contains(a.rel) && delta.contains(a.rel))
             val recPositions = r.body.filter(a =>
               !a.negated && recursive.contains(a.rel))
-            if (recAtoms > 0) {
-              recPositions.indices.foreach { pos =>
-                if (delta.contains(recPositions(pos).rel)) {
-                  val f = fire(r, avail, recursive.toSet, pos, delta)
-                  val fresh = full.get(r.head.rel)
-                    .map(f.join(_, f.columns.toSeq, "left_anti")).getOrElse(f)
-                  val prev = next.get(r.head.rel)
-                  next = next.updated(r.head.rel,
-                    prev.map(_.unionByName(fresh).distinct()).getOrElse(fresh))
-                }
+            recPositions.indices.foreach { pos =>
+              if (delta.contains(recPositions(pos).rel)) {
+                val f = fire(r, avail, recursive.toSet, pos, delta)
+                raw = raw.updated(r.head.rel,
+                  raw.getOrElse(r.head.rel, Nil) :+ f)
               }
             }
+          }
+          var next = raw.map { case (k, fs) =>
+            val merged = fs.reduceLeft(_.unionByName(_)).distinct()
+            k -> full.get(k)
+              .map(merged.join(_, merged.columns.toSeq, "left_anti"))
+              .getOrElse(merged)
           }
           next = next.map { case (k, v) => k -> v.localCheckpoint() }
             .filter(_._2.count() > 0)
