@@ -60,7 +60,8 @@ object SparkEntry {
       SeqPatOps.all, PermTestOps.all, MarkovChainOps.all,
       ImputeOps.all, UniverseSampleOps.all,
       SlidingDistinctOps.all, CurationFunnelOps.all, DatalogOps.all,
-      BitemporalOps.all, FunnelWindowOps.all, CdcOps.all, ResampleOps.all
+      BitemporalOps.all, FunnelWindowOps.all, CdcOps.all, ResampleOps.all,
+      MatrixProfileOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

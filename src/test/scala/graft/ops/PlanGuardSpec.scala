@@ -188,6 +188,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q503_bitemporal_asof"     -> 4,   // 4-row (valid, tx) cutoff grid
     "q505_cdc_upsert"          -> 1,   // 1-row ledger pivot + 1-row final-state report
     "q506_rejection_resample"  -> 1,   // 1-row c_min / bin-count / accepted-total broadcasts
+    "q507_matrix_profile"      -> 2500, // calendar-bounded window frame (~2.4k at every SF)
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -214,7 +215,11 @@ class PlanGuardSpec extends SparkTestBase {
   // join shape at all.
   private val quadraticYardsticks = Set(
     "q55_embedding_dedup",
-    "q30_cosine_knn")
+    "q30_cosine_knn",
+    "q507_matrix_profile") // all-pairs over the CALENDAR-BOUNDED day series
+                           // (~2.4k windows at every SF) — exact matrix
+                           // profile is pairwise by contract (q408's
+                           // calendar-melt precedent)
 
   private val scalarBroadcasts = Set(
     "q34_dead_heartbeats",
