@@ -61,7 +61,9 @@ object SparkEntry {
       ImputeOps.all, UniverseSampleOps.all,
       SlidingDistinctOps.all, CurationFunnelOps.all, DatalogOps.all,
       BitemporalOps.all, FunnelWindowOps.all, CdcOps.all, ResampleOps.all,
-      MatrixProfileOps.all
+      MatrixProfileOps.all,
+      SpatialStatOps.all, CointegOps.all, NaiveBayesOps.all,
+      LinkageOps.all, PprOps.all, KalmanOps.all, CcfOps.all, BleuOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

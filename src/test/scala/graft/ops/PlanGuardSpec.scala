@@ -189,6 +189,11 @@ class PlanGuardSpec extends SparkTestBase {
     "q505_cdc_upsert"          -> 1,   // 1-row ledger pivot + 1-row final-state report
     "q506_rejection_resample"  -> 1,   // 1-row c_min / bin-count / accepted-total broadcasts
     "q507_matrix_profile"      -> 2500, // calendar-bounded window frame (~2.4k at every SF)
+    "q508_morans_i"            -> 100, // fixed 10×10 lattice adjacency self-join + 1-row totals
+    "q509_getis_ord"           -> 100, // fixed 10×10 lattice neighborhood self-join + 1-row totals
+    "q510_cointegration"       -> 1,   // 1-row OLS-fit broadcast onto the daily spine
+    "q511_naive_bayes"         -> 200, // vocab-cap model spine (5 langs × 200 tokens) + 1-row prior total
+    "q515_lead_lag_ccf"        -> 25,  // 25-row lag dimension fanned over the calendar-bounded spine
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -376,7 +381,15 @@ class PlanGuardSpec extends SparkTestBase {
     "q502_datalog_ready",      // 1-row ready-count report onto the 1-row totals (the q215 idiom)
     "q503_bitemporal_asof",    // 4-row (valid, tx) cutoff grid onto the fact log (the q213 sweep idiom)
     "q505_cdc_upsert",         // 1-row ledger pivot + 1-row final-state report (the q215 idiom)
-    "q506_rejection_resample") // 1-row c_min / bin-count / accepted-total broadcasts (the q56 idiom)
+    "q506_rejection_resample", // 1-row c_min / bin-count / accepted-total broadcasts (the q56 idiom)
+    "q508_morans_i",           // fixed 10×10 lattice adjacency self-join + 1-row totals
+    "q509_getis_ord",          // fixed 10×10 lattice neighborhood self-join + 1-row totals
+    "q510_cointegration",      // 1-row OLS-fit broadcast onto the daily spine (the q56 idiom)
+    "q511_naive_bayes",        // 5×200 model spine + 1-row prior total (the q316 lattice idiom)
+    "q515_lead_lag_ccf")       // 25-row lag dimension over the calendar-bounded spine (the q213 sweep idiom)
+  // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
+  // exemption: label propagation's localCheckpoint truncates the final plan
+  // before the threshold join (the q253/q372 case above).
   // q372_knn_shapley broadcasts its 16-point test pool (the q30 idiom) but
   // needs no exemption: the values frame is localCheckpoint'd before the
   // rank passes, so the final plan sees no join shape (q253's case below).
