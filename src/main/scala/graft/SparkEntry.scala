@@ -61,9 +61,10 @@ object SparkEntry {
       ImputeOps.all, UniverseSampleOps.all,
       SlidingDistinctOps.all, CurationFunnelOps.all, DatalogOps.all,
       BitemporalOps.all, FunnelWindowOps.all, CdcOps.all, ResampleOps.all,
-      MatrixProfileOps.all,
+      MatrixProfileOps.all, HmmOps.all,
       SpatialStatOps.all, CointegOps.all, NaiveBayesOps.all,
-      LinkageOps.all, PprOps.all, KalmanOps.all, CcfOps.all, BleuOps.all
+      LinkageOps.all, PprOps.all, KalmanOps.all, CcfOps.all, BleuOps.all,
+      MmrOps.all, SetCoverOps.all, DawidSkeneOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
