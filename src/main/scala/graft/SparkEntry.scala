@@ -64,7 +64,8 @@ object SparkEntry {
       MatrixProfileOps.all, HmmOps.all,
       SpatialStatOps.all, CointegOps.all, NaiveBayesOps.all,
       LinkageOps.all, PprOps.all, KalmanOps.all, CcfOps.all, BleuOps.all,
-      MmrOps.all, SetCoverOps.all, DawidSkeneOps.all
+      MmrOps.all, SetCoverOps.all, DawidSkeneOps.all,
+      CdcChunkOps.all, NetStructOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

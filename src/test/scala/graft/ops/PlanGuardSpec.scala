@@ -196,6 +196,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q515_lead_lag_ccf"        -> 25,  // 25-row lag dimension fanned over the calendar-bounded spine
     "q517_hmm_regimes"         -> 1,   // 1-row tercile-cut broadcast onto the daily spine
     "q520_dawid_skene"         -> 25,  // anns × langs model spine (3×5×5 after both fan-outs)
+    "q523_rich_club"           -> 4,   // 4-row k-sweep dimension onto the |V|²-bounded edge census
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -390,7 +391,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q511_naive_bayes",        // 5×200 model spine + 1-row prior total (the q316 lattice idiom)
     "q515_lead_lag_ccf",       // 25-row lag dimension over the calendar-bounded spine (the q213 sweep idiom)
     "q517_hmm_regimes",        // 1-row tercile-cut broadcast onto the daily spine (the q56 idiom)
-    "q520_dawid_skene")        // 3×5×5 model-spine fan-outs (the q316 lattice idiom)
+    "q520_dawid_skene",        // 3×5×5 model-spine fan-outs (the q316 lattice idiom)
+    "q523_rich_club")          // 4-row k sweep onto the edge census (the q213 sweep idiom)
   // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
   // exemption: label propagation's localCheckpoint truncates the final plan
   // before the threshold join (the q253/q372 case above).
