@@ -65,7 +65,8 @@ object SparkEntry {
       SpatialStatOps.all, CointegOps.all, NaiveBayesOps.all,
       LinkageOps.all, PprOps.all, KalmanOps.all, CcfOps.all, BleuOps.all,
       MmrOps.all, SetCoverOps.all, DawidSkeneOps.all,
-      CdcChunkOps.all, NetStructOps.all
+      CdcChunkOps.all, NetStructOps.all,
+      RidgeOps.all, ChowOps.all, QlmOps.all, RankAggOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -197,6 +197,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q517_hmm_regimes"         -> 1,   // 1-row tercile-cut broadcast onto the daily spine
     "q520_dawid_skene"         -> 25,  // anns × langs model spine (3×5×5 after both fan-outs)
     "q523_rich_club"           -> 4,   // 4-row k-sweep dimension onto the |V|²-bounded edge census
+    "q525_ridge_path"          -> 3,   // 3-row λ sweep onto the 1-row scatter matrix
+    "q526_chow_test"           -> 1,   // 1-row pooled × 1-row split SSE reports
+    "q527_qlm_dirichlet"       -> 4,   // 4-term query model + 1-row collection total onto the doc spine
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -392,7 +395,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q515_lead_lag_ccf",       // 25-row lag dimension over the calendar-bounded spine (the q213 sweep idiom)
     "q517_hmm_regimes",        // 1-row tercile-cut broadcast onto the daily spine (the q56 idiom)
     "q520_dawid_skene",        // 3×5×5 model-spine fan-outs (the q316 lattice idiom)
-    "q523_rich_club")          // 4-row k sweep onto the edge census (the q213 sweep idiom)
+    "q523_rich_club",          // 4-row k sweep onto the edge census (the q213 sweep idiom)
+    "q525_ridge_path",         // 3-row λ sweep onto the 1-row scatter (the q213 sweep idiom)
+    "q526_chow_test",          // 1-row pooled × split SSE reports (the q215 idiom)
+    "q527_qlm_dirichlet")      // 4-term model + 1-row total onto the doc spine (the q56 idiom)
   // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
   // exemption: label propagation's localCheckpoint truncates the final plan
   // before the threshold join (the q253/q372 case above).
