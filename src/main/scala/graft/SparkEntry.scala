@@ -66,7 +66,8 @@ object SparkEntry {
       LinkageOps.all, PprOps.all, KalmanOps.all, CcfOps.all, BleuOps.all,
       MmrOps.all, SetCoverOps.all, DawidSkeneOps.all,
       CdcChunkOps.all, NetStructOps.all,
-      RidgeOps.all, ChowOps.all, QlmOps.all, RankAggOps.all
+      RidgeOps.all, ChowOps.all, QlmOps.all, RankAggOps.all,
+      FeatureEngOps.all, CountModelOps.all, AucOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

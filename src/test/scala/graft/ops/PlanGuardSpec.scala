@@ -200,6 +200,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q525_ridge_path"          -> 3,   // 3-row λ sweep onto the 1-row scatter matrix
     "q526_chow_test"           -> 1,   // 1-row pooled × 1-row split SSE reports
     "q527_qlm_dirichlet"       -> 4,   // 4-term query model + 1-row collection total onto the doc spine
+    "q530_feature_hashing"     -> 3,   // 3-row k sweep onto the vocabulary census
+    "q531_woe_iv"              -> 1,   // 1-row bounds + 1-row class totals onto the bin census
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -398,7 +400,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q523_rich_club",          // 4-row k sweep onto the edge census (the q213 sweep idiom)
     "q525_ridge_path",         // 3-row λ sweep onto the 1-row scatter (the q213 sweep idiom)
     "q526_chow_test",          // 1-row pooled × split SSE reports (the q215 idiom)
-    "q527_qlm_dirichlet")      // 4-term model + 1-row total onto the doc spine (the q56 idiom)
+    "q527_qlm_dirichlet",      // 4-term model + 1-row total onto the doc spine (the q56 idiom)
+    "q530_feature_hashing",    // 3-row k sweep onto the vocabulary census (the q213 sweep idiom)
+    "q531_woe_iv")             // 1-row bounds/totals onto the bin census (the q56 idiom)
   // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
   // exemption: label propagation's localCheckpoint truncates the final plan
   // before the threshold join (the q253/q372 case above).
