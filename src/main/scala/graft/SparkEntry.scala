@@ -67,7 +67,8 @@ object SparkEntry {
       MmrOps.all, SetCoverOps.all, DawidSkeneOps.all,
       CdcChunkOps.all, NetStructOps.all,
       RidgeOps.all, ChowOps.all, QlmOps.all, RankAggOps.all,
-      FeatureEngOps.all, CountModelOps.all, AucOps.all
+      FeatureEngOps.all, CountModelOps.all, AucOps.all,
+      SeriesCleanOps.all, UpliftOps.all, RandResponseOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

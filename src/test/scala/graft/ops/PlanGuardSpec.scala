@@ -202,6 +202,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q527_qlm_dirichlet"       -> 4,   // 4-term query model + 1-row collection total onto the doc spine
     "q530_feature_hashing"     -> 3,   // 3-row k sweep onto the vocabulary census
     "q531_woe_iv"              -> 1,   // 1-row bounds + 1-row class totals onto the bin census
+    "q537_western_electric"    -> 1,   // 1-row μ/σ limits onto the daily spine
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -402,7 +403,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q526_chow_test",          // 1-row pooled × split SSE reports (the q215 idiom)
     "q527_qlm_dirichlet",      // 4-term model + 1-row total onto the doc spine (the q56 idiom)
     "q530_feature_hashing",    // 3-row k sweep onto the vocabulary census (the q213 sweep idiom)
-    "q531_woe_iv")             // 1-row bounds/totals onto the bin census (the q56 idiom)
+    "q531_woe_iv",             // 1-row bounds/totals onto the bin census (the q56 idiom)
+    "q537_western_electric")   // 1-row μ/σ limits onto the daily spine (the q56 idiom)
   // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
   // exemption: label propagation's localCheckpoint truncates the final plan
   // before the threshold join (the q253/q372 case above).
