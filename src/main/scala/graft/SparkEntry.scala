@@ -68,7 +68,8 @@ object SparkEntry {
       CdcChunkOps.all, NetStructOps.all,
       RidgeOps.all, ChowOps.all, QlmOps.all, RankAggOps.all,
       FeatureEngOps.all, CountModelOps.all, AucOps.all,
-      SeriesCleanOps.all, UpliftOps.all, RandResponseOps.all
+      SeriesCleanOps.all, UpliftOps.all, RandResponseOps.all,
+      AdstockOps.all, BowtieOps.all, ErrMetricOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

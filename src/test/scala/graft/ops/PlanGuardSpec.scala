@@ -203,6 +203,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q530_feature_hashing"     -> 3,   // 3-row k sweep onto the vocabulary census
     "q531_woe_iv"              -> 1,   // 1-row bounds + 1-row class totals onto the bin census
     "q537_western_electric"    -> 1,   // 1-row μ/σ limits onto the daily spine
+    "q538_adstock_fit"         -> 3,   // 3-row θ sweep onto the 1-row packed series
+    "q539_bowtie"              -> 1,   // 1-row core-id broadcast onto the |V|-row label frame
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -404,7 +406,11 @@ class PlanGuardSpec extends SparkTestBase {
     "q527_qlm_dirichlet",      // 4-term model + 1-row total onto the doc spine (the q56 idiom)
     "q530_feature_hashing",    // 3-row k sweep onto the vocabulary census (the q213 sweep idiom)
     "q531_woe_iv",             // 1-row bounds/totals onto the bin census (the q56 idiom)
-    "q537_western_electric")   // 1-row μ/σ limits onto the daily spine (the q56 idiom)
+    "q537_western_electric",   // 1-row μ/σ limits onto the daily spine (the q56 idiom)
+    "q538_adstock_fit",        // 3-row θ sweep onto the packed series (the q213 sweep idiom)
+    "q539_bowtie")             // 1-row core-id broadcast onto the label frame (the q56 idiom)
+  // q540_err_metric's 4-term dimension joins by EQUI key (term) — a plain
+  // broadcast hash join, no exemption needed.
   // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
   // exemption: label propagation's localCheckpoint truncates the final plan
   // before the threshold join (the q253/q372 case above).
