@@ -69,7 +69,8 @@ object SparkEntry {
       RidgeOps.all, ChowOps.all, QlmOps.all, RankAggOps.all,
       FeatureEngOps.all, CountModelOps.all, AucOps.all,
       SeriesCleanOps.all, UpliftOps.all, RandResponseOps.all,
-      AdstockOps.all, BowtieOps.all, ErrMetricOps.all
+      AdstockOps.all, BowtieOps.all, ErrMetricOps.all,
+      AgreementOps.all, RboOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

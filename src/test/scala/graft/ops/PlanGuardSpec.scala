@@ -205,6 +205,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q537_western_electric"    -> 1,   // 1-row μ/σ limits onto the daily spine
     "q538_adstock_fit"         -> 3,   // 3-row θ sweep onto the 1-row packed series
     "q539_bowtie"              -> 1,   // 1-row core-id broadcast onto the |V|-row label frame
+    "q541_fleiss_kappa"        -> 3,   // 3-row annotator fan-out + 1-row category totals
+    "q542_mcc_ovr"             -> 1,   // 1-row grand-total broadcast onto the |langs| marginal frame
+    "q543_rbo"                 -> 10,  // 10-row depth dimension onto the ≤20-row ranked pool
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -408,7 +411,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q531_woe_iv",             // 1-row bounds/totals onto the bin census (the q56 idiom)
     "q537_western_electric",   // 1-row μ/σ limits onto the daily spine (the q56 idiom)
     "q538_adstock_fit",        // 3-row θ sweep onto the packed series (the q213 sweep idiom)
-    "q539_bowtie")             // 1-row core-id broadcast onto the label frame (the q56 idiom)
+    "q539_bowtie",             // 1-row core-id broadcast onto the label frame (the q56 idiom)
+    "q541_fleiss_kappa",       // 1-row category totals × 1-row subject report (the q215 idiom)
+    "q542_mcc_ovr",            // 1-row grand total onto the |langs| marginals (the q56 idiom)
+    "q543_rbo")                // 10-row depth dimension onto the ranked pool (the q213 sweep idiom)
   // q540_err_metric's 4-term dimension joins by EQUI key (term) — a plain
   // broadcast hash join, no exemption needed.
   // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
