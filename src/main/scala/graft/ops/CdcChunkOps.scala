@@ -40,11 +40,15 @@ object CdcChunkOps {
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val chunked = gated.withColumn("chunk",
         sum(col("cut")).over(wDoc) - col("cut")) // boundary token CLOSES its chunk
+      // checkpoint: BOTH consumers below (occurrence census + per-source
+      // rollup) would otherwise re-scan and re-window the whole corpus —
+      // the dominant cost at scale (observed 2× in the sf10 plan audit)
       val chunks = chunked
         .groupBy(col("doc_id"), col("source"), col("chunk"))
         .agg(count(lit(1)).as("mass"),
           concat_ws(" ", expr("transform(sort_array(" +
             "collect_list(struct(pos, tok))), x -> x.tok)")).as("ctext"))
+        .localCheckpoint()
       val occ = chunks.groupBy(col("ctext"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
       chunks.join(occ, Seq("ctext"))
