@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * series with the response (daily revenue). The lag-structure scan
   * every MMM pipeline runs before regression (reference: overseer's
   * monitoring/series family — arbitrary handler fns,
-  * src/overseer/handler.clj:12; q149's time-decay popularity is the
+  * src/overseer/executor.clj:12-39; q149's time-decay popularity is the
   * per-item cousin).
   *
   * Scale shape: ONE corpus scan to the calendar-bounded daily frame;

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *    imbalance-robust summary precision/recall can hide.
   *
   * (Reference: overseer's arbitrary handler fns,
-  * src/overseer/handler.clj:12; q142/q183/q533's eval family.)
+  * src/overseer/executor.clj:12-39; q142/q183/q533's eval family.)
   *
   * Scale shape: q541 is one vote fan-out + two hash-aggs (per-subject
   * category counts, then global sums); q542 is 25-cell matrix algebra

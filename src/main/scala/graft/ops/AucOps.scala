@@ -9,7 +9,7 @@ import org.apache.spark.sql.expressions.Window
   * / (2·n₁·n₀). Here the score is order value (cents) and the label is
   * urgency — the audit answers "does price rank urgency at all?"
   * (reference: overseer's arbitrary handler fns,
-  * src/overseer/handler.clj:12; q193's PR-curve sibling on the
+  * src/overseer/executor.clj:12-39; q193's PR-curve sibling on the
   * threshold-free side).
   *
   * Scale shape: ONE scan hash-aggs to the distinct-score census

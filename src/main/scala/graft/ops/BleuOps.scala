@@ -9,7 +9,7 @@ import org.apache.spark.sql.expressions.Window
   * score every generation-eval harness computes; here each language's
   * docs are paired consecutively by id (odd row = candidate, even row
   * = reference), making the fixture self-contained (reference:
-  * overseer's arbitrary handler fns, src/overseer/handler.clj:12).
+  * overseer's arbitrary handler fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: pairing is one window over (lang, doc_id); n-gram
   * clipping is a hash-agg on (pair, gram) — every stage an equi-join

@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   * applied to the strong backbone because the raw trade graph
   * saturates to a single SCC at scale (q522's thresholding argument)
   * (reference: overseer's graph family; arbitrary handler fns,
-  * src/overseer/handler.clj:12; q473's SCC is the core subroutine).
+  * src/overseer/executor.clj:12-39; q473's SCC is the core subroutine).
   *
   * Scale shape: GraphBase's one trade scan + a 1-row order-statistic
   * cut; the reachability fixpoint runs on the |V|²-bounded backbone

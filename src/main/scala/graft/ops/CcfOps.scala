@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * over the dense hourly spine; the argmax lag is the causal-direction
   * screen product analytics runs before attribution (reference:
   * overseer's events/monitoring family — arbitrary handler fns,
-  * src/overseer/handler.clj:12).
+  * src/overseer/executor.clj:12-39).
   *
   * Scale shape: ONE event scan aggregates to the calendar-bounded
   * hourly census (map-side partial agg); the 25-lag sweep is a

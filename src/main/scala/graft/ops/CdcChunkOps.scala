@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   * edit near the front does not re-key every later chunk. Then audit
   * cross-document duplicated chunk MASS per source: the byte-level
   * storage-dedup win CDC buys (reference: overseer's corpus family —
-  * arbitrary handler fns, src/overseer/handler.clj:12).
+  * arbitrary handler fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: boundary decisions are STATELESS per token (the gear
   * gate needs no scan state), so chunk ids are one windowed cumulative

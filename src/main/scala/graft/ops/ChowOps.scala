@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * The regime-change screen every pricing/forecasting pipeline runs at
   * suspected policy breaks — q408 finds an unknown breakpoint, Chow
   * TESTS a hypothesized one (reference: overseer's monitoring/series
-  * family — arbitrary handler fns, src/overseer/handler.clj:12).
+  * family — arbitrary handler fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: ONE corpus scan, then three 1-row aggregates over the
   * calendar-bounded daily frame (the split is a CASE label, so all

@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   * Δu_t = ρ·u_{t−1} + e_t; a strongly negative t(ρ) rejects a unit
   * root in the spread, i.e. the series are cointegrated (reference:
   * overseer's monitoring/series family — arbitrary handler fns,
-  * src/overseer/handler.clj:12; the statistic is the operator here).
+  * src/overseer/executor.clj:12-39; the statistic is the operator here).
   *
   * Scale shape: the series is CALENDAR-BOUNDED (~2,400 days at every
   * SF), so after ONE linear scan with map-side partial aggregation the

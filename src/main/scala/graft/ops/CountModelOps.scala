@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * λ̂ = (s² + m² − m)/m, π̂ = 1 − m/λ̂ — closed form from the first two
   * moments plus the observed zero fraction for the excess-zeros check
   * (reference: overseer's arbitrary handler fns,
-  * src/overseer/handler.clj:12; q201/q424's count-model family).
+  * src/overseer/executor.clj:12-39; q201/q424's count-model family).
   *
   * Scale shape: one orders scan (hash-agg to per-customer counts — the
   * customer spine left-joined so true zeros are structural rows), one

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
   * training-data pipeline publishes with every corpus release
   * (reference: overseer's curation family — q83 quality gate, q84
   * source cap, q88 chunk dedup — COMPOSED here into the audit that ties
-  * them together; test/resources/queries/curation.edn:1). Stages:
+  * them together; doc/guide/Introduction.md:3). Stages:
   * 0 raw → 1 language filter (en) → 2 exact dedup (min doc_id per
   * md5(text)) → 3 quality gate (n_chars ≥ 200) → 4 per-source cap
   * (first 15 docs by doc_id). The report is one row per stage with

@@ -13,7 +13,7 @@ import org.apache.spark.sql.expressions.Window
   * table by salted md5 (each annotator is "right" on ~70% of docs,
   * wrong deterministically otherwise), so the fixture is self-contained
   * and both engines derive identical votes (reference: overseer's
-  * arbitrary handler fns, src/overseer/handler.clj:12).
+  * arbitrary handler fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: votes are a 3× linear fan-out of the corpus; both EM
   * steps are hash-aggs; the model (3 annotators × 5 × 5 confusion

@@ -10,7 +10,7 @@ import org.apache.spark.sql.expressions.Window
   * rank: ERR = Σ_r (1/r)·R_r·Π_{i<r}(1 − R_i). Unlike NDCG, a highly
   * relevant early hit SHADOWS everything below it — exactly the
   * behavior retrieval evals want for navigational queries (reference:
-  * overseer's arbitrary handler fns, src/overseer/handler.clj:12;
+  * overseer's arbitrary handler fns, src/overseer/executor.clj:12-39;
   * q155/q193's eval family).
   *
   * Fixture: for each of q527's four query terms, docs are ranked by

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    plus the IV sum, the "is this feature worth binning" number.
   *
   * (Reference: overseer's arbitrary handler fns,
-  * src/overseer/handler.clj:12; the q171/q183 eval family's
+  * src/overseer/executor.clj:12-39; the q171/q183 eval family's
   * feature-side complement.)
   *
   * Scale shape: each is ONE scan into a hash-agg census (categories /

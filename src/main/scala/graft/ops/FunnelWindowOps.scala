@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
   * the deepest view → click → purchase chain completed within ONE HOUR
   * of the anchoring view, where the anchor is the user's EARLIEST view
   * (reference: overseer's funnel handler family,
-  * test/resources/queries/product.edn:1; q81 is the unwindowed
+  * doc/guide/Introduction.md:3; q81 is the unwindowed
   * join-chain funnel — this is the time-budgeted variant a growth team
   * actually reads, and a different PLAN: no join chain at all).
   *

@@ -10,7 +10,7 @@ import org.apache.spark.sql.expressions.Window
   * turns a noisy daily series into labeled REGIME ISLANDS — the
   * monitoring product every ops dashboard wants above raw anomaly
   * flags (reference: overseer's monitoring/series family — arbitrary
-  * handler fns, src/overseer/handler.clj:12).
+  * handler fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: ONE corpus scan to the calendar-bounded daily census;
   * both DP recursions fold inside codegen `aggregate` higher-order

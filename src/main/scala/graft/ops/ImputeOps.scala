@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
   * report per-year MAE/bias: the standing data-quality experiment a
   * feature-store team runs before trusting an imputation rule
   * (reference: overseer's quality/repair family,
-  * test/resources/queries/quality.edn:1). "Nearest" is 1-D: within the
+  * doc/guide/Introduction.md:3). "Nearest" is 1-D: within the
   * same ship DATE, the ≤8 rows on each side by extended price — the
   * sort-window kNN that needs NO pairwise distance join. The holdout
   * coin is the house md5 convention, so both engines hold out the

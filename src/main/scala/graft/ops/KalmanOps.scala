@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * converging to the steady-state signal-to-noise fixpoint. Reports,
   * per class, the final filtered level, the converged gain, and the
   * innovation variance proxy (reference: overseer's monitoring/series
-  * family — arbitrary handler fns, src/overseer/handler.clj:12).
+  * family — arbitrary handler fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: ONE corpus scan aggregates to the calendar-bounded
   * (≤2,400-day) per-class series; the ENTIRE filter recursion then

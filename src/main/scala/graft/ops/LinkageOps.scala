@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * τ-thresholded graph ARE the single-linkage flat clusters at level τ
   * — the same extraction a dendrogram cut performs, without
   * materializing the dendrogram (reference: overseer's arbitrary
-  * handler fns, src/overseer/handler.clj:12; clustering is a
+  * handler fns, src/overseer/executor.clj:12-39; clustering is a
   * first-class curation op here).
   *
   * Scale shape: the corpus-sized work is GraphBase's one trade-edge

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 
 /** Stationary distribution of the user-behavior Markov chain — "where
   * does a session settle?" (reference: overseer's journey/transition
-  * analytics, test/resources/queries/journeys.edn:1; q315 uses the same
+  * analytics, doc/guide/Introduction.md:3; q315 uses the same
   * chain for removal attribution, this query computes its long-run
   * fixed point). The chain's states are event types; P(i,j) is the
   * maximum-likelihood transition probability from consecutive per-user

@@ -10,7 +10,7 @@ import org.apache.spark.sql.expressions.Window
   * non-overlapping neighbor; the top discords (largest profile values)
   * are the anomalies a monitoring pipeline flags without choosing a
   * model (reference: overseer's monitoring/series family,
-  * test/resources/queries/series.edn:1).
+  * doc/guide/Introduction.md:3).
   *
   * Scale shape: the series is CALENDAR-BOUNDED (~2,400 days at every
   * SF), so the all-pairs stage is a constant ~5.7M-pair frame at any

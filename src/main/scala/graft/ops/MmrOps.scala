@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   * doc should not spend a second slot). λ = 0.7, k = 10 picks from the
   * 30 longest docs; similarity = word-trigram Jaccard (q27's measure)
   * quantized to micro-units (reference: overseer's arbitrary handler
-  * fns, src/overseer/handler.clj:12).
+  * fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: the corpus-sized stages are the relevance top-30
   * (TakeOrdered, no global sort) and the shingle scan; pairwise

@@ -10,7 +10,7 @@ import org.apache.spark.sql.expressions.Window
   * classes, confusion matrix on a held-out split. The zero-dependency
   * baseline every corpus pipeline wants next to its langid heuristic
   * (q24/q191) — same task, now LEARNED from the train half (reference:
-  * overseer's arbitrary handler fns, src/overseer/handler.clj:12).
+  * overseer's arbitrary handler fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: two token scans (train counts, test scoring) with
   * map-side partial aggregation; the MODEL — 5 classes × 200 vocabulary

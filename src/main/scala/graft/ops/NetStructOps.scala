@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    returned in the opposite direction?
   *
   * (Reference: overseer's graph family — the dependency DAG analytics
-  * of SURVEY §2E; arbitrary handler fns, src/overseer/handler.clj:12.)
+  * of SURVEY §2E; arbitrary handler fns, src/overseer/executor.clj:12-39.)
   *
   * Scale shape: the corpus-sized work is GraphBase's one shared trade
   * scan; every statistic is then equi-joins + hash-aggs on the

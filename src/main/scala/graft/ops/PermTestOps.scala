@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
   * order-value gap explainable by chance?" answered WITHOUT parametric
   * assumptions, the way an experimentation platform validates a metric
   * diff (reference: overseer's ab-test stat family,
-  * test/resources/queries/stats.edn:1). The observed statistic is
+  * doc/guide/Introduction.md:3). The observed statistic is
   * mean(cents | 1-URGENT) − mean(cents | 5-LOW); each of R=64 replicates
   * re-labels every order by a DETERMINISTIC md5 coin u(orderkey, r) <
   * n_a/n (so both engines draw the identical "random" relabeling — the

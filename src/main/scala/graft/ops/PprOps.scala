@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * Seeds are the AMERICA-region nations; the walk runs 3 iterations at
   * damping 0.85 over the directed nation trade graph with
   * weight-proportional transitions (reference: overseer's arbitrary
-  * handler fns, src/overseer/handler.clj:12).
+  * handler fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: each iteration is one (edges ⋈ ranks) equi-join +
   * hash-agg — rank state is |V| rows, edge fan-out is the only

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * than BM25's b/k1 knobs; the two rankers disagree exactly where
   * collection statistics matter, which is why IR stacks ship both
   * (reference: overseer's arbitrary handler fns,
-  * src/overseer/handler.clj:12; q91/q318/q319's retrieval family).
+  * src/overseer/executor.clj:12-39; q91/q318/q319's retrieval family).
   *
   * Scale shape: ONE tokenize scan feeds (a) per-doc lengths, (b)
   * per-(doc, query-term) counts (the postings of a 4-term query — a

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * estimator π̂ = (p_obs − (1−q)) / (2q − 1) = 2·p_obs − 1/2. The
   * fixture keeps the TRUE rate beside the estimate, so the query is
   * the end-to-end privacy-utility audit (reference: overseer's
-  * arbitrary handler fns, src/overseer/handler.clj:12; PrivacyOps'
+  * arbitrary handler fns, src/overseer/executor.clj:12-39; PrivacyOps'
   * central-DP mechanisms are the server-side cousins).
   *
   * Scale shape: one orders semi-aggregate + one customer scan, then a

@@ -10,7 +10,7 @@ import org.apache.spark.sql.expressions.Window
   * the aggregate ranking is by total points. The rank-fusion rule used
   * when combining leaderboards whose SCORES are incomparable but whose
   * ORDERINGS are trusted (reference: overseer's arbitrary handler fns,
-  * src/overseer/handler.clj:12; q104's RRF is the retrieval cousin).
+  * src/overseer/executor.clj:12-39; q104's RRF is the retrieval cousin).
   *
   * Scale shape: one scan to the (year × nation) revenue census
   * (hash-agg on exact cents), per-year ranking windows over the

@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   * frequency vs length-normalized frequency (tf·1000 DIV dl) — the
   * exact pair every ranker-change review diffing "did normalization
   * reshuffle my top-10?" looks at (reference: overseer's arbitrary
-  * handler fns, src/overseer/handler.clj:12; q104/q155/q540's
+  * handler fns, src/overseer/executor.clj:12-39; q104/q155/q540's
   * ranking-eval family).
   *
   * Scale shape: one token scan to the 4-term postings; two top-10

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Rejection resampling to a target length distribution — the
   * "balance the corpus" curation step (reference: overseer's curation
-  * family, test/resources/queries/curation.edn:1; q89 rebalances ACROSS
+  * family, doc/guide/Introduction.md:3; q89 rebalances ACROSS
   * sources by temperature — this balances WITHIN a marginal, the
   * length histogram, by per-bin rejection). Bins are 100-char buckets;
   * the target is UNIFORM over observed bins; each bin keeps documents

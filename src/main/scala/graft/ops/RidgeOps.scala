@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * scatter matrix, where the 2×2 inverse is the adjugate formula. Shows
   * the coefficient-shrinkage path every tabular-ML pipeline inspects
   * before picking a regularizer (reference: overseer's arbitrary
-  * handler fns, src/overseer/handler.clj:12; the q125/q443 OLS family's
+  * handler fns, src/overseer/executor.clj:12-39; the q125/q443 OLS family's
   * regularized sibling).
   *
   * Scale shape: ONE corpus scan to the calendar-bounded daily frame;

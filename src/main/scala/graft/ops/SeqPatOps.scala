@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 /** Sequential pattern mining over the event log — the frequent
   * CONSECUTIVE trigram table a product/behavior pipeline keeps as its
   * "common journeys" summary (reference: overseer's funnel/journey query
-  * family, test/resources/queries/journeys.edn:1). For every user the
+  * family, doc/guide/Introduction.md:3). For every user the
   * event stream is ordered by (ts, event_id) and every window of three
   * consecutive events contributes one occurrence of the trigram
   * (t0,t1,t2); the report is the top-20 trigrams with occurrence count,

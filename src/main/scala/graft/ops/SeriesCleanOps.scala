@@ -17,7 +17,7 @@ import org.apache.spark.sql.expressions.Window
   *    counts against μ ± kσ limits from exact integer moments.
   *
   * (Reference: overseer's monitoring family — arbitrary handler fns,
-  * src/overseer/handler.clj:12; q294's EWMA chart and q129's seasonal
+  * src/overseer/executor.clj:12-39; q294's EWMA chart and q129's seasonal
   * gate are the neighboring alarms.)
   *
   * Scale shape: ONE corpus scan to the calendar-bounded daily census;

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * both run: universe = distinct word tokens, sets = each source's
   * token inventory, pick the source with the largest uncovered gain,
   * 8 rounds, ties to the lexicographically first source (reference:
-  * overseer's arbitrary handler fns, src/overseer/handler.clj:12).
+  * overseer's arbitrary handler fns, src/overseer/executor.clj:12-39).
   *
   * Scale shape: ONE tokenize scan to the distinct (source, token)
   * inventory (hash-agg, token-mass linear); each greedy round is an

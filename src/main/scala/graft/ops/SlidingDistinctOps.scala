@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
   * be at 100 TB: build one k-minimum-values sketch PER DAY (q358/q474's
   * md5 convention), then answer every 7-day window by merging seven
   * k-row sketches, never rescanning the week (reference: overseer's
-  * rolling-actives dashboards, test/resources/queries/events.edn:1).
+  * rolling-actives dashboards, doc/guide/Introduction.md:3).
   * The exact windowed distinct is computed beside the estimate as the
   * standing error audit — at production scale you'd drop the exact leg
   * and keep the sketch path, which touches 7·K rows per day instead of

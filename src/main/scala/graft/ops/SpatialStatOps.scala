@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * 1992): the two standard answers to "is the customer density map
   * clustered, and WHERE?" (reference: overseer's monitoring/report
   * family; the spatial fixture reuses q487's deterministic md5 grid,
-  * src/overseer/handler.clj:12's arbitrary-fn contract is what lets the
+  * src/overseer/executor.clj:12-39's arbitrary-fn contract is what lets the
   * reference run arbitrary spatial UDFs — here the statistic itself is
   * the operator).
   *

@@ -10,7 +10,7 @@ import org.apache.spark.sql.expressions.Window
   * conversions (treated rate − control rate, control scaled to the
   * treated arm's size). The campaign-evaluation read every growth team
   * computes before trusting a targeting model (reference: overseer's
-  * arbitrary handler fns, src/overseer/handler.clj:12; q184's
+  * arbitrary handler fns, src/overseer/executor.clj:12-39; q184's
   * cumulative-gains sibling WITH a control arm).
   *
   * Scale shape: one customer scan + one orders semi-aggregate; decile
