@@ -176,6 +176,9 @@ object ScaleGen {
     //    (~60% total) — the hot aggregate key q105 salts
     //  - orders.o_custkey: ~20% of all orders remapped to customer 1 —
     //    the readiness anti-join / lag-window victim (q33)
+    //  - documents.source: ~20% of all docs remapped to src0 (one whale
+    //    source owning ~20% of token mass) — the per-source rollup /
+    //    census victim for the content-keyed dedup family (q521)
     // Dimension FKs still land (user 1 / customer 1 exist in every copy).
     val zipf = args.length > 3 && args(3) == "zipf"
     if (zipf) {
@@ -207,7 +210,23 @@ object ScaleGen {
       require(fs.rename(stage, live),
         s"rename orders_zipf -> orders failed under $out (recover from orders_old)")
       fs.delete(old, true)
-      println("[scalegen] zipf: hot user_id/event_type/o_custkey applied")
+      // whale document source: same staged swap as orders (the table is
+      // already on disk from the replicate() pass above)
+      val hotDocs = spark.read.parquet(s"$out/documents.parquet")
+        .withColumn("source",
+          when(pmod(xxhash64(col("doc_id"), lit(13)), lit(5)) === 0,
+            lit("src0")).otherwise(col("source")))
+      hotDocs.write.mode("overwrite").parquet(s"$out/documents_zipf.parquet")
+      val liveD  = new org.apache.hadoop.fs.Path(s"$out/documents.parquet")
+      val stageD = new org.apache.hadoop.fs.Path(s"$out/documents_zipf.parquet")
+      val oldD   = new org.apache.hadoop.fs.Path(s"$out/documents_old.parquet")
+      fs.delete(oldD, true)
+      require(fs.rename(liveD, oldD),
+        s"rename documents -> documents_old failed under $out")
+      require(fs.rename(stageD, liveD),
+        s"rename documents_zipf -> documents failed under $out (recover from documents_old)")
+      fs.delete(oldD, true)
+      println("[scalegen] zipf: hot user_id/event_type/o_custkey/source applied")
     } else write(evScaled, "events")
 
     println(s"[scalegen] done: $out = $copies x $src")

@@ -70,7 +70,7 @@ object SparkEntry {
       FeatureEngOps.all, CountModelOps.all, AucOps.all,
       SeriesCleanOps.all, UpliftOps.all, RandResponseOps.all,
       AdstockOps.all, BowtieOps.all, ErrMetricOps.all,
-      AgreementOps.all, RboOps.all
+      AgreementOps.all, RboOps.all, OnlineStoreOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -53,7 +53,15 @@ object DatalogOps {
         Rule(Atom("dep", Seq(V("x"), V("a"))),
           Seq(Atom("dep", Seq(V("x"), V("b"))),
             Atom("edge", Seq(V("b"), V("a")))))))
-      program.run(Map("edge" -> edges), "dep")
+      // the edge EDB is hierarchy-sized (|nodes|) while the closure is
+      // |nodes| × avg-depth (~18× larger here): broadcasting the edge
+      // side turns every round's delta∘edge join into a broadcast hash
+      // join — no delta shuffle — which is the build-side choice any
+      // stats-aware planner would make; the checkpointed frame has no
+      // stats, so the hint restores it. At a scale where edges outgrow
+      // executor memory, drop the hint and the engine's equi-join
+      // shuffles both sides like any other big join.
+      program.run(Map("edge" -> broadcast(edges)), "dep")
         .groupBy(col("_p1").as("node"))
         .agg(count(lit(1)).as("n_dependents"))
         .orderBy(col("n_dependents").desc, col("node"))

@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   *    relation — new facts are anti-joined against the accumulated set,
   *    so work per round is proportional to what is NEW, not to what is
   *    known (the property that makes fixpoints survive 100 TB closures).
-  *  - every round localCheckpoints the accumulated frame: without it
-  *    Catalyst analysis of the growing self-referential plan goes
-  *    exponential (the q21 lesson, SURVEY §5).
+  *  - every round localCheckpoints the DELTA (lazily — the convergence
+  *    probe's count() is the materializing action, so the round costs one
+  *    job per changed head, not three); the accumulated frame is a union
+  *    of those checkpointed deltas, compacted every few rounds. Without
+  *    checkpointing, Catalyst analysis of the growing self-referential
+  *    plan goes exponential (the q21 lesson, SURVEY §5).
   *
   * Relations are POSITIONAL (columns _p0.._pN), matching datalog's
   * tuple view; atoms bind positions to variables, which become join
@@ -161,8 +164,14 @@ object Datalog {
     }
 
     /** Run the program over extensional relations `edb`; returns the
-      * fixpoint of `target` (positional columns _p0.._pN). */
-    def run(edb: Map[String, DataFrame], target: String): DataFrame = {
+      * fixpoint of `target` (positional columns _p0.._pN).
+      *
+      * `materializeSeeds = false` skips the per-stratum seed checkpoint so
+      * the full compiled plan stays visible to Catalyst — ONLY sound for
+      * non-recursive programs (plan-shape introspection, tiny inputs);
+      * recursive strata always checkpoint their deltas regardless. */
+    def run(edb: Map[String, DataFrame], target: String,
+            materializeSeeds: Boolean = true): DataFrame = {
       require(idb.contains(target) || edb.contains(target),
         s"unknown relation $target")
       val layer = strata
@@ -188,45 +197,128 @@ object Datalog {
           }
         }
         full = seeds.map { case (k, fs) =>
-          k -> fs.reduceLeft(_.unionByName(_)).distinct().localCheckpoint()
+          val merged = fs.reduceLeft(_.unionByName(_)).distinct()
+          k -> (if (materializeSeeds || recursive.contains(k))
+                  merged.localCheckpoint()
+                else merged)
         }
         delta = full
-        // semi-naive rounds
+        // semi-naive rounds. Per-round job budget is ONE job per changed
+        // head (the r12 shape ran three): the delta is checkpointed LAZILY
+        // and the convergence probe's count() is the action that
+        // materializes it, and the accumulated relation is NOT re-
+        // checkpointed per round — it stays a union of already-
+        // checkpointed deltas (plan depth grows by one cheap leaf per
+        // round) and is compacted every `compactEvery` rounds to bound
+        // both plan width and the number of frames the anti-join scans.
+        //
+        // Round queries are short and FIXED-SHAPE, so generic adaptive
+        // re-planning is pure latency here (~0.25 s/round measured at
+        // sf0.1): the one statistic AQE would estimate — the delta/closure
+        // cardinality — is already measured EXACTLY every round by the
+        // convergence probe. The fixpoint driver therefore plans rounds
+        // statically, sizes the shuffle width itself from the measured
+        // row counts (≈500k rows/partition, clamped to the session's
+        // configured width so a cluster-sized session keeps its
+        // parallelism), and builds the anti-join's hash table on the
+        // accumulated side (shuffle_hash) instead of letting SMJ re-sort
+        // the whole closure every round. Session conf is restored after
+        // the loop.
+        val spark = rels.values.head.sparkSession
+        val compactEvery = 4
+        var sinceCompact = 0
+        var fullRows = Map.empty[String, Long]
         var changed = full.nonEmpty && recursive.nonEmpty
-        while (changed) {
-          val avail = rels ++ full
-          // RAW firings gathered per head; dedup + anti-join ONCE per head
-          var raw = Map.empty[String, Seq[DataFrame]]
-          stratumRules.foreach { r =>
-            val recPositions = r.body.filter(a =>
-              !a.negated && recursive.contains(a.rel))
-            recPositions.indices.foreach { pos =>
-              if (delta.contains(recPositions(pos).rel)) {
-                val f = fire(r, avail, recursive.toSet, pos, delta)
-                raw = raw.updated(r.head.rel,
-                  raw.getOrElse(r.head.rel, Nil) :+ f)
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        if (changed) {
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          // seed cardinalities: cheap counts over already-checkpointed data
+          fullRows = full.map { case (k, v) => k -> v.count() }
+        }
+        try {
+          while (changed) {
+            val knownRows = math.max(fullRows.values.sum, 1L)
+            val parts = math.max(4L, math.min(prevParts.toLong,
+              knownRows / 500000L + 1L))
+            spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+            val avail = rels ++ full
+            // RAW firings per head; dedup + anti-join ONCE per head
+            var raw = Map.empty[String, Seq[DataFrame]]
+            stratumRules.foreach { r =>
+              val recPositions = r.body.filter(a =>
+                !a.negated && recursive.contains(a.rel))
+              recPositions.indices.foreach { pos =>
+                // every source must exist: a same-stratum rel with no
+                // seed yet (no base-rule facts) is empty — skip firings
+                // that read it outside the delta slot
+                if (delta.contains(recPositions(pos).rel) &&
+                    r.body.forall(a => avail.contains(a.rel))) {
+                  val f = fire(r, avail, recursive.toSet, pos, delta)
+                  raw = raw.updated(r.head.rel,
+                    raw.getOrElse(r.head.rel, Nil) :+ f)
+                }
               }
             }
-          }
-          var next = raw.map { case (k, fs) =>
-            val merged = fs.reduceLeft(_.unionByName(_)).distinct()
-            k -> full.get(k)
-              .map(merged.join(_, merged.columns.toSeq, "left_anti"))
-              .getOrElse(merged)
-          }
-          next = next.map { case (k, v) => k -> v.localCheckpoint() }
-            .filter(_._2.count() > 0)
-          if (next.isEmpty) changed = false
-          else {
-            next.foreach { case (rel, d) =>
-              val merged = full.get(rel)
-                .map(_.unionByName(d)).getOrElse(d).localCheckpoint()
-              full = full.updated(rel, merged)
+            val next = raw.map { case (k, fs) =>
+              val merged = fs.reduceLeft(_.unionByName(_)).distinct()
+              k -> full.get(k)
+                .map(f => merged.join(f.hint("shuffle_hash"),
+                  merged.columns.toSeq, "left_anti"))
+                .getOrElse(merged)
             }
-            delta = next
+            // lazy checkpoint: count() both materializes it and probes
+            // convergence — one Spark job, not checkpoint-then-count
+            val counted = next.map { case (k, v) =>
+              (k, v.localCheckpoint(false)) }.map { case (k, v) =>
+              (k, v, v.count()) }.filter(_._3 > 0)
+            if (counted.isEmpty) changed = false
+            else {
+              sinceCompact += 1
+              counted.foreach { case (rel, d, n) =>
+                fullRows = fullRows.updated(rel,
+                  fullRows.getOrElse(rel, 0L) + n)
+                val merged = full.get(rel).map(_.unionByName(d)).getOrElse(d)
+                full = full.updated(rel,
+                  if (sinceCompact >= compactEvery) merged.localCheckpoint()
+                  else merged)
+              }
+              if (sinceCompact >= compactEvery) sinceCompact = 0
+              delta = counted.map(c => c._1 -> c._2).toMap
+            }
           }
+        } finally {
+          spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
-        rels = rels ++ full
+        // defined-but-EMPTY relations must still exist (a later stratum
+        // may bind or negate them; run(target) may name them): type each
+        // one by firing a rule whose sources are all available and
+        // taking limit(0) — plan-only, never executed, schema-exact.
+        // Resolution iterates so chains of empty predicates type each
+        // other; only a recursive clique with no base rule anywhere is
+        // untypeable, and that is rejected loudly.
+        var templates = Map.empty[String, DataFrame]
+        var missing = stratumRels.filterNot(full.contains)
+        var progress = true
+        while (missing.nonEmpty && progress) {
+          progress = false
+          missing.foreach { rel =>
+            val avail = rels ++ full ++ templates
+            stratumRules.find(r => r.head.rel == rel &&
+                r.body.forall(a => avail.contains(a.rel))).foreach { r =>
+              templates = templates.updated(rel,
+                fire(r, avail, Set.empty, -1, Map.empty).limit(0))
+              progress = true
+            }
+          }
+          missing = stratumRels.filterNot(r =>
+            full.contains(r) || templates.contains(r))
+        }
+        require(missing.isEmpty,
+          s"predicates $missing have no base rule anywhere in their " +
+            "recursive clique: empty by construction but untypeable")
+        rels = rels ++ full ++ templates
       }
       rels(target)
     }
