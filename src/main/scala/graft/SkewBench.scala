@@ -261,12 +261,32 @@ object SkewBench {
     val (psErr64, psKept64) = psSubsetErr(64)
     val (psErr1024, psKept1024) = psSubsetErr(1024)
 
+    // ——— claim 5: CDC chunking under a whale document source ———
+    // q521's gear gate is CONTENT-keyed: chunk identity never depends on
+    // the source column, so a whale source (src0 ≈ 20% of token mass
+    // under `ScaleGen ... zipf`) concentrates only the FINAL per-source
+    // rollup — ≤|sources| groups after the map-side combine — while the
+    // corpus-sized census stays keyed by chunk text, whose distribution
+    // the source remap does not touch. Prediction: q521 holds its time
+    // under the whale. The measurement is the claim.
+    val cdcT = time {
+      graft.ops.CdcChunkOps.q521CdcChunking.fn(spark, dir).count()
+    }
+    val srcShare = {
+      val byS = graft.ops.Tables(spark, dir).documents
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("ch"))
+        .orderBy(col("ch").desc).limit(1).head()
+      val tot = graft.ops.Tables(spark, dir).documents
+        .agg(sum(col("n_chars"))).head().getLong(0)
+      (byS.getString(0), byS.getLong(1).toDouble / tot)
+    }
+
     // ——— the pre-flight that detects the skew ———
     val skewRows = graft.ops.AuditOps.q143SkewAudit.fn(spark, dir).collect()
       .map(r => s"""{"key":"${r.getString(0)}","skew":${r.getDouble(4)}}""")
       .mkString("[", ",", "]")
 
-    println(s"""{"metric":"skewbench","sf":"$dir","q105_salted":$salted,"q105_plain":$plain,"topk_window_naive":$naiveT,"topk_salted_two_stage":$saltedT,"topk_bounded_agg":$boundedT,"topk_shuffle_rows_window":$naiveShuffle,"topk_shuffle_rows_bounded":$boundedShuffle,"topk_rows":$nc,"readiness_anti_join":$readiness,"deps_lag_window_naive":$depsNaiveT,"deps_lag_hotcold_split":$depsSaltedT,"hot_keys":${hotKeys.length},"ps_whale_orders":$whaleOrders,"ps_whale_mass":${exactWhale.toDouble / totalW},"ps_kept_k64":$psKept64,"ps_err_k64":$psErr64,"ps_kept_k1024":$psKept1024,"ps_err_k1024":$psErr1024,"skew_audit":$skewRows}""")
+    println(s"""{"metric":"skewbench","sf":"$dir","q521_cdc_chunking":$cdcT,"whale_source":"${srcShare._1}","whale_token_share":${srcShare._2},"q105_salted":$salted,"q105_plain":$plain,"topk_window_naive":$naiveT,"topk_salted_two_stage":$saltedT,"topk_bounded_agg":$boundedT,"topk_shuffle_rows_window":$naiveShuffle,"topk_shuffle_rows_bounded":$boundedShuffle,"topk_rows":$nc,"readiness_anti_join":$readiness,"deps_lag_window_naive":$depsNaiveT,"deps_lag_hotcold_split":$depsSaltedT,"hot_keys":${hotKeys.length},"ps_whale_orders":$whaleOrders,"ps_whale_mass":${exactWhale.toDouble / totalW},"ps_kept_k64":$psKept64,"ps_err_k64":$psErr64,"ps_kept_k1024":$psKept1024,"ps_err_k1024":$psErr1024,"skew_audit":$skewRows}""")
     spark.stop()
   }
 }

@@ -70,7 +70,10 @@ object SparkEntry {
       FeatureEngOps.all, CountModelOps.all, AucOps.all,
       SeriesCleanOps.all, UpliftOps.all, RandResponseOps.all,
       AdstockOps.all, BowtieOps.all, ErrMetricOps.all,
-      AgreementOps.all, RboOps.all, OnlineStoreOps.all
+      AgreementOps.all, RboOps.all, OnlineStoreOps.all,
+      LinkageStringOps.all, RatingOps.all, VolatilityOps.all,
+      MembershipOps.all, RougeOps.all, HbosOps.all, MrrEvalOps.all,
+      VideoOps.all, JsonlSourceOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
