@@ -182,68 +182,76 @@ object Datalog {
         val recursive = stratumRels.filter { rel =>
           stratumRules.exists(_.body.exists(a => !a.negated && a.rel == rel))
         }
-        // seed: fire every rule with recursive atoms bound to EMPTY —
-        // i.e. only firings that need no same-stratum fact yet
-        var full = Map.empty[String, DataFrame]
-        var delta = Map.empty[String, DataFrame]
-        var seeds = Map.empty[String, Seq[DataFrame]]
-        stratumRules.foreach { r =>
-          val usesRec = r.body.exists(a =>
-            !a.negated && recursive.contains(a.rel))
-          if (!usesRec) {
-            val f = fire(r, rels, Set.empty, -1, Map.empty)
-            seeds = seeds.updated(r.head.rel,
-              seeds.getOrElse(r.head.rel, Nil) :+ f)
-          }
-        }
-        full = seeds.map { case (k, fs) =>
-          val merged = fs.reduceLeft(_.unionByName(_)).distinct()
-          k -> (if (materializeSeeds || recursive.contains(k))
-                  merged.localCheckpoint()
-                else merged)
-        }
-        delta = full
-        // semi-naive rounds. Per-round job budget is ONE job per changed
-        // head (the r12 shape ran three): the delta is checkpointed LAZILY
-        // and the convergence probe's count() is the action that
-        // materializes it, and the accumulated relation is NOT re-
-        // checkpointed per round — it stays a union of already-
-        // checkpointed deltas (plan depth grows by one cheap leaf per
-        // round) and is compacted every `compactEvery` rounds to bound
-        // both plan width and the number of frames the anti-join scans.
+        // ——— the fixpoint driver (Flink delta-iteration discipline) ———
         //
-        // Round queries are short and FIXED-SHAPE, so generic adaptive
-        // re-planning is pure latency here (~0.25 s/round measured at
-        // sf0.1): the one statistic AQE would estimate — the delta/closure
-        // cardinality — is already measured EXACTLY every round by the
-        // convergence probe. The fixpoint driver therefore plans rounds
-        // statically, sizes the shuffle width itself from the measured
-        // row counts (≈500k rows/partition, clamped to the session's
-        // configured width so a cluster-sized session keeps its
-        // parallelism), and builds the anti-join's hash table on the
-        // accumulated side (shuffle_hash) instead of letting SMJ re-sort
-        // the whole closure every round. Session conf is restored after
-        // the loop.
+        // The accumulated relation ("solution set") is NEVER re-shuffled
+        // or re-materialized: it lives as the Vector of per-round DELTA
+        // legs, each localCheckpointed at one FIXED hash width N on the
+        // tuple columns. checkpoint preserves outputPartitioning, so the
+        // per-round novelty check — the new facts anti-joined leg by leg
+        // — is exchange-free: both sides are co-partitioned, and the
+        // shuffle_hash hint makes each probe a partition-local hash
+        // build of one delta-sized leg. Per-round shuffle volume is
+        // therefore ∝ NEW facts only (the distinct), while the solution
+        // set costs local probes — the r12 shape re-shuffled the whole
+        // closure every round, which went superlinear at the 100× leg
+        // (429 s at 64 g, OOM at 32 g; this shape measured 340 s — the
+        // remaining per-round cost is the partition-LOCAL leg probes,
+        // CPU not network; BASELINE.md has the full ledger).
+        //
+        // Rounds plan STATICALLY (AQE off, restored after): round
+        // queries are short and fixed-shape, and adaptive replanning
+        // measured ~0.25 s/round of pure latency — while AQE's runtime
+        // coalescing would also break the fixed-width co-partitioning
+        // this whole design rests on. N is sized once from the EDB
+        // relations the recursive rules read (≈ expansion 16 ×
+        // edb / 500k rows per partition, floor 4, cap 4096), so leg
+        // hash maps stay bounded at any closure size.
         val spark = rels.values.head.sparkSession
-        val compactEvery = 4
-        var sinceCompact = 0
-        var fullRows = Map.empty[String, Long]
-        var changed = full.nonEmpty && recursive.nonEmpty
+        val isRec = recursive.nonEmpty
         val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-        if (changed) {
+        if (isRec) {
           spark.conf.set("spark.sql.adaptive.enabled", "false")
-          // seed cardinalities: cheap counts over already-checkpointed data
-          fullRows = full.map { case (k, v) => k -> v.count() }
+          val edbRefs = stratumRules
+            .flatMap(_.body.filterNot(_.negated).map(_.rel))
+            .distinct.filterNot(idb.contains).filter(rels.contains)
+          val edbRows = edbRefs.map(rels(_).count()).sum
+          val n = math.min(4096L, math.max(4L, edbRows * 16 / 500000L))
+          spark.conf.set("spark.sql.shuffle.partitions", n.toString)
         }
+        var full = Map.empty[String, DataFrame]
+        var delta = Map.empty[String, DataFrame]
+        var legs = Map.empty[String, Vector[DataFrame]]
         try {
+          // seed: fire every rule with recursive atoms bound to EMPTY —
+          // i.e. only firings that need no same-stratum fact yet
+          var seeds = Map.empty[String, Seq[DataFrame]]
+          stratumRules.foreach { r =>
+            val usesRec = r.body.exists(a =>
+              !a.negated && recursive.contains(a.rel))
+            if (!usesRec) {
+              val f = fire(r, rels, Set.empty, -1, Map.empty)
+              seeds = seeds.updated(r.head.rel,
+                seeds.getOrElse(r.head.rel, Nil) :+ f)
+            }
+          }
+          full = seeds.map { case (k, fs) =>
+            val merged = fs.reduceLeft(_.unionByName(_)).distinct()
+            k -> (if (materializeSeeds || recursive.contains(k))
+                    merged.localCheckpoint()
+                  else merged)
+          }
+          legs = full.map { case (k, v) => k -> Vector(v) }
+          delta = full
+          var changed = full.nonEmpty && isRec
+          val trace = sys.env.contains("GRAFT_DL_TRACE")
+          var round = 0
           while (changed) {
-            val knownRows = math.max(fullRows.values.sum, 1L)
-            val parts = math.max(4L, math.min(prevParts.toLong,
-              knownRows / 500000L + 1L))
-            spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+            round += 1
+            val t0 = System.nanoTime()
             val avail = rels ++ full
-            // RAW firings per head; dedup + anti-join ONCE per head
+            // RAW firings per head; dedup + leg-wise anti ONCE per head
             var raw = Map.empty[String, Seq[DataFrame]]
             stratumRules.foreach { r =>
               val recPositions = r.body.filter(a =>
@@ -262,28 +270,46 @@ object Datalog {
             }
             val next = raw.map { case (k, fs) =>
               val merged = fs.reduceLeft(_.unionByName(_)).distinct()
-              k -> full.get(k)
-                .map(f => merged.join(f.hint("shuffle_hash"),
-                  merged.columns.toSeq, "left_anti"))
-                .getOrElse(merged)
+              val keys = merged.columns.toSeq
+              // exchange-free novelty check: chained co-partitioned
+              // anti-joins, one delta-sized hash build per leg
+              k -> legs.getOrElse(k, Vector.empty).foldLeft(merged)(
+                (acc, leg) => acc.join(leg.hint("shuffle_hash"),
+                  keys, "left_anti"))
             }
             // lazy checkpoint: count() both materializes it and probes
             // convergence — one Spark job, not checkpoint-then-count
             val counted = next.map { case (k, v) =>
               (k, v.localCheckpoint(false)) }.map { case (k, v) =>
               (k, v, v.count()) }.filter(_._3 > 0)
+            if (trace) System.err.println(
+              f"[datalog] round $round%2d: " +
+                s"delta=${counted.map(_._3).sum} " +
+                f"${(System.nanoTime() - t0) / 1e9}%.2f s")
             if (counted.isEmpty) changed = false
             else {
-              sinceCompact += 1
-              counted.foreach { case (rel, d, n) =>
-                fullRows = fullRows.updated(rel,
-                  fullRows.getOrElse(rel, 0L) + n)
-                val merged = full.get(rel).map(_.unionByName(d)).getOrElse(d)
+              counted.foreach { case (rel, d, _) =>
+                var ls = legs.getOrElse(rel, Vector.empty) :+ d
+                // bound plan width & per-round probe count on DEEP
+                // fixpoints: at 32 legs fold the solution set back into
+                // ONE co-partitioned leg (repartition on the tuple
+                // columns at the same fixed width, so co-partitioning
+                // survives). Measured: compacting more eagerly (every 8)
+                // cost MORE than the chained probes it saved — the
+                // probe-side hash builds are cheap, re-materializing the
+                // closure is not
+                if (ls.size >= 32) {
+                  val merged = ls.reduceLeft(_.unionByName(_))
+                  val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+                  ls = Vector(merged
+                    .repartition(n, merged.columns.map(col).toIndexedSeq: _*)
+                    .localCheckpoint())
+                }
+                legs = legs.updated(rel, ls)
                 full = full.updated(rel,
-                  if (sinceCompact >= compactEvery) merged.localCheckpoint()
-                  else merged)
+                  if (ls.size == 1) ls.head
+                  else full.get(rel).map(_.unionByName(d)).getOrElse(d))
               }
-              if (sinceCompact >= compactEvery) sinceCompact = 0
               delta = counted.map(c => c._1 -> c._2).toMap
             }
           }

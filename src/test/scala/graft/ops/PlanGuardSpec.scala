@@ -208,6 +208,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q541_fleiss_kappa"        -> 3,   // 3-row annotator fan-out + 1-row category totals
     "q542_mcc_ovr"             -> 1,   // 1-row grand-total broadcast onto the |langs| marginal frame
     "q543_rbo"                 -> 10,  // 10-row depth dimension onto the ≤20-row ranked pool
+    "q548_garch_grid"          -> 9,   // 9-row (α,β) grid onto the 1-row packed return series, then a 1-row best-ll broadcast
+    "q549_min_k_prob"          -> 1,   // 1-row corpus-total broadcast onto the token census
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -414,7 +416,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q539_bowtie",             // 1-row core-id broadcast onto the label frame (the q56 idiom)
     "q541_fleiss_kappa",       // 1-row category totals × 1-row subject report (the q215 idiom)
     "q542_mcc_ovr",            // 1-row grand total onto the |langs| marginals (the q56 idiom)
-    "q543_rbo")                // 10-row depth dimension onto the ranked pool (the q213 sweep idiom)
+    "q543_rbo",                // 10-row depth dimension onto the ranked pool (the q213 sweep idiom)
+    "q548_garch_grid",         // 9-row grid onto the 1-row packed series + 1-row best-ll (the q538 sweep idiom)
+    "q549_min_k_prob")         // 1-row corpus total onto the token census (the q56 idiom)
   // q540_err_metric's 4-term dimension joins by EQUI key (term) — a plain
   // broadcast hash join, no exemption needed.
   // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
