@@ -73,7 +73,8 @@ object SparkEntry {
       AgreementOps.all, RboOps.all, OnlineStoreOps.all,
       LinkageStringOps.all, RatingOps.all, VolatilityOps.all,
       MembershipOps.all, RougeOps.all, HbosOps.all, MrrEvalOps.all,
-      VideoOps.all, JsonlSourceOps.all, SsspOps.all, NbFitOps.all
+      VideoOps.all, JsonlSourceOps.all, SsspOps.all, NbFitOps.all,
+      HomogeneityOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

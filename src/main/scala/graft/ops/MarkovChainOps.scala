@@ -116,5 +116,78 @@ object MarkovChainOps {
       ORDER BY s.state"""
     })
 
-  val all: Seq[QueryDef] = Seq(q496MarkovStationary)
+  /** Entropy rate of the user-behavior chain: H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ
+    * with π from q496's 10-step power iteration — the bits-per-step
+    * compressibility of user journeys (a chain drifting toward
+    * determinism is a product-health signal; a chain at maximum entropy
+    * has no structure to recommend against). Rides q496's registered
+    * frame (the q157-reuses-q79 composition idiom): the transition
+    * census is the only corpus-sized work; everything after is
+    * |types|²-row algebra.
+    *
+    * Exactness: per-(i,j) terms −pᵢⱼ ln pᵢⱼ quantized round(·,12) and
+    * summed as DECIMAL (order-free), surfaced round 6. */
+  val q558MarkovEntropyRate: QueryDef = QueryDef(
+    "q558_markov_entropy_rate",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = EventOps.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = ev
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val rowTot = trans.groupBy(col("cur")).agg(sum(col("cnt")).as("tot"))
+      // per-state conditional entropy from quantized terms
+      val hState = trans.join(broadcast(rowTot), Seq("cur"))
+        .select(col("cur"),
+          round(-(col("cnt").cast("double") / col("tot").cast("double")) *
+            log(col("cnt").cast("double") / col("tot").cast("double")), 12)
+            .cast(DecimalType(28, 12)).as("term"))
+        .groupBy(col("cur").as("state"))
+        .agg(sum(col("term")).cast("double").as("h_state"))
+      // π via q496's registered stationary column (round-6, both engines)
+      val pi = q496MarkovStationary.fn(s, dir)
+        .select(col("state"), col("stationary_p"))
+      hState.join(pi, Seq("state"))
+        .select(col("state"), round(col("h_state"), 6).as("h_state"),
+          col("stationary_p"),
+          round(col("stationary_p") * col("h_state"), 6).as("contribution"))
+        .orderBy(col("state"))
+    },
+    Some {
+      val q496Sql = q496MarkovStationary.oracle.get
+      s"""WITH q496 AS ($q496Sql),
+      ev2 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        FROM events),
+      pairs2 AS (
+        SELECT event_type AS cur,
+          LEAD(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id) AS nxt
+        FROM ev2),
+      trans2 AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs2 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      rowtot2 AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM trans2 GROUP BY 1),
+      hstate AS (
+        SELECT t.cur AS state,
+          CAST(SUM(CAST(round(-(CAST(t.cnt AS DOUBLE) / r.tot)
+            * ln(CAST(t.cnt AS DOUBLE) / r.tot), 12)
+            AS DECIMAL(28,12))) AS DOUBLE) AS h_state
+        FROM trans2 t JOIN rowtot2 r ON r.cur = t.cur
+        GROUP BY 1)
+      SELECT h.state, round(h.h_state, 6) AS h_state,
+        q.stationary_p,
+        round(q.stationary_p * h.h_state, 6) AS contribution
+      FROM hstate h JOIN q496 q ON q.state = h.state
+      ORDER BY h.state"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q496MarkovStationary, q558MarkovEntropyRate)
 }

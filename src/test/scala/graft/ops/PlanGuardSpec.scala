@@ -208,7 +208,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q541_fleiss_kappa"        -> 3,   // 3-row annotator fan-out + 1-row category totals
     "q542_mcc_ovr"             -> 1,   // 1-row grand-total broadcast onto the |langs| marginal frame
     "q543_rbo"                 -> 10,  // 10-row depth dimension onto the ≤20-row ranked pool
-    "q548_garch_grid"          -> 9,   // 9-row (α,β) grid onto the 1-row packed return series, then a 1-row best-ll broadcast
+    "q548_garch_grid"          -> 9,
+    "q557_krippendorff_alpha"  -> 3,   // 3-row annotator fan-out (q541's fixture) + 1-row census reports
+    "q558_markov_entropy_rate" -> 1,   // inherits q496's 1-row grand-total broadcast (the composition idiom)   // 9-row (α,β) grid onto the 1-row packed return series, then a 1-row best-ll broadcast
     "q549_min_k_prob"          -> 1,   // 1-row corpus-total broadcast onto the token census
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
@@ -418,6 +420,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q542_mcc_ovr",            // 1-row grand total onto the |langs| marginals (the q56 idiom)
     "q543_rbo",                // 10-row depth dimension onto the ranked pool (the q213 sweep idiom)
     "q548_garch_grid",         // 9-row grid onto the 1-row packed series + 1-row best-ll (the q538 sweep idiom)
+    "q557_krippendorff_alpha", // 1-row marginal × 1-row unit census (the q215 idiom)
+    "q558_markov_entropy_rate",// rides q496's 1-row grand-total broadcast (the q157-reuses-q79 idiom)
     "q549_min_k_prob")         // 1-row corpus total onto the token census (the q56 idiom)
   // q540_err_metric's 4-term dimension joins by EQUI key (term) — a plain
   // broadcast hash join, no exemption needed.
