@@ -106,6 +106,23 @@ object Bench {
       java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Write the current merged state to BENCH.json. Called after EVERY
+    * completed chunk with `partial = true` (and once at the very end with
+    * `partial = false`), so a driver-side timeout/kill at ANY point after
+    * the first chunk leaves a parseable artifact covering the completed
+    * chunks instead of nothing — the round-13 driver killed the bench
+    * phase at its 60-minute budget and got zero evidence because the only
+    * write happened at end-of-run. Atomic via write-to-temp + move so a
+    * kill mid-write can't leave a truncated file either. */
+  private def flushArtifact(json: String): Unit = {
+    val tmp = java.nio.file.Paths.get("BENCH.json.tmp")
+    java.nio.file.Files.write(tmp,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def parentMain(): Unit = {
     // SPARK_GRAFT_BENCH_ONLY=q01,q02 — local-iteration hook to exercise
     // the chunked path on a subset; the driver never sets it
@@ -116,19 +133,27 @@ object Bench {
     val nChunks = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNKS", "4").toInt
       .max(1).min(all.size)
     val per = (all.size + nChunks - 1) / nChunks
-    // parse each artifact as it arrives so a malformed chunk fails fast
-    // with its label instead of aborting a multi-hour run at merge time
-    val chunks = all.grouped(per).zipWithIndex.map { case (names, i) =>
-      parseChunk(runChild(names, s"c$i"), s"c$i")
-    }.toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     val rechecks = scala.collection.mutable.ListBuffer[String]()
-    chunks.foreach { c =>
+    def partialJson(done: Int): String = {
+      val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${times.values.sum},"unit":"sec","partial":true,"chunks_done":$done,"chunks":$nChunks,"queries_total":${all.size},"queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"isolated_rechecks":[${rechecks.mkString(",")}],"runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
+    }
+    // parse each artifact as it arrives so a malformed chunk fails fast
+    // with its label instead of aborting a multi-hour run at merge time —
+    // and flush the merged-so-far artifact to disk after every chunk
+    all.grouped(per).zipWithIndex.foreach { case (names, i) =>
+      val c = parseChunk(runChild(names, s"c$i"), s"c$i")
       c.times.foreach { case (n, t) => times(n) = t }
       failed ++= c.failed
       rechecks ++= c.rechecks
+      flushArtifact(partialJson(i + 1))
+      System.err.println(
+        s"[bench] chunk c$i merged (${times.size}/${all.size} queries); BENCH.json flushed (partial)")
     }
     require(times.size == all.size,
       s"merged ${times.size} timings for ${all.size} queries")
@@ -141,7 +166,7 @@ object Bench {
     val prior = loadPrior()
     val freshRechecks = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
     val subsecExempt = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
-    val finalTimes = times.map { case (name, t) =>
+    val finalTimes = times.toSeq.map { case (name, t) =>
       val overRatio = prior.get(name).exists(p => t > RepinRatio * p) &&
         !failed.contains(name)
       val breach = overRatio && t > RepinAbsFloorSec
@@ -153,6 +178,10 @@ object Bench {
         System.err.println(
           f"[bench] $name fresh-JVM re-pin: suite=$t%.2f s fresh=$fresh%.2f s (floor=${prior(name)}%.2f s)")
         freshRechecks += ((name, t, fresh))
+        // keep the on-disk artifact current through the repin pass too: a
+        // kill here still leaves all queries covered, with this repin folded
+        times(name) = math.min(t, fresh)
+        flushArtifact(partialJson(nChunks))
         name -> math.min(t, fresh)
       }
     }
@@ -165,10 +194,9 @@ object Bench {
     val exemptJson = subsecExempt.map { case (n, t, p) =>
       s"""{"name":"$n","suite":$t,"floor":$p}"""
     }.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${finalTimes.values.sum},"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"isolated_rechecks":[${rechecks.mkString(",")}],"fresh_jvm_rechecks":$freshJson,"subsecond_exempt":$exemptJson,"repin_ratio":$RepinRatio,"repin_abs_floor_sec":$RepinAbsFloorSec,"chunks":$nChunks,"runs_per_query":2,"agg":"min","sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}"""
+    val json = s"""{"metric":"total","value":${finalTimes.map(_._2).sum},"unit":"sec","partial":false,"queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"isolated_rechecks":[${rechecks.mkString(",")}],"fresh_jvm_rechecks":$freshJson,"subsecond_exempt":$exemptJson,"repin_ratio":$RepinRatio,"repin_abs_floor_sec":$RepinAbsFloorSec,"chunks":$nChunks,"runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    flushArtifact(json)
   }
 
   private def loadPrior(): Map[String, Double] = {

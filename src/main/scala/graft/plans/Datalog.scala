@@ -42,6 +42,18 @@ import org.apache.spark.sql.functions._
   */
 object Datalog {
 
+  /** One monitor per SparkSession guarding the recursive-stratum conf
+    * clamp (see run()). Weak keys: a stopped session's monitor must not
+    * pin the session in memory. */
+  private val clampMonitors =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, AnyRef]()
+  private def clampMonitor(s: org.apache.spark.sql.SparkSession): AnyRef =
+    clampMonitors.synchronized {
+      val m = clampMonitors.get(s)
+      if (m != null) m
+      else { val n = new AnyRef; clampMonitors.put(s, n); n }
+    }
+
   sealed trait Term
   final case class V(name: String) extends Term
   final case class C(value: Any) extends Term
@@ -207,23 +219,46 @@ object Datalog {
         // relations the recursive rules read (≈ expansion 16 ×
         // edb / 500k rows per partition, floor 4, cap 4096), so leg
         // hash maps stay bounded at any closure size.
-        val spark = rels.values.head.sparkSession
+        // a program can derive facts purely from constant rules (empty
+        // EDB map) — fall back to the active session instead of NPE-ing
+        // on an empty relation map
+        val spark = rels.values.headOption.map(_.sparkSession)
+          .getOrElse(org.apache.spark.sql.SparkSession.active)
         val isRec = recursive.nonEmpty
-        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-        if (isRec) {
-          spark.conf.set("spark.sql.adaptive.enabled", "false")
-          val edbRefs = stratumRules
-            .flatMap(_.body.filterNot(_.negated).map(_.rel))
-            .distinct.filterNot(idb.contains).filter(rels.contains)
-          val edbRows = edbRefs.map(rels(_).count()).sum
-          val n = math.min(4096L, math.max(4L, edbRows * 16 / 500000L))
-          spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-        }
+        // Recursive strata clamp SESSION-GLOBAL SQL confs for the
+        // duration of the fixpoint. Conf writes are visible to every
+        // query on the session, so two interleaved clamped sections
+        // would each save the other's clamp as "previous" and leave the
+        // session clamped after both restore — the clamp is therefore
+        // serialized on a per-session monitor. JVM monitors are
+        // reentrant, so a nested run() on the same thread composes: the
+        // inner save/restore round-trips back to the outer clamp and the
+        // outermost restores the true originals. Residual (documented):
+        // queries fired on the same session from OTHER threads while a
+        // fixpoint is in flight plan under the clamp — single-writer-
+        // session semantics.
+        def withClamp[T](body: => T): T =
+          if (!isRec) body
+          else clampMonitor(spark).synchronized {
+            val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            val edbRefs = stratumRules
+              .flatMap(_.body.filterNot(_.negated).map(_.rel))
+              .distinct.filterNot(idb.contains).filter(rels.contains)
+            val edbRows = edbRefs.map(rels(_).count()).sum
+            val n = math.min(4096L, math.max(4L, edbRows * 16 / 500000L))
+            spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+            try body
+            finally {
+              spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+              spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+            }
+          }
         var full = Map.empty[String, DataFrame]
         var delta = Map.empty[String, DataFrame]
         var legs = Map.empty[String, Vector[DataFrame]]
-        try {
+        withClamp {
           // seed: fire every rule with recursive atoms bound to EMPTY —
           // i.e. only firings that need no same-stratum fact yet
           var seeds = Map.empty[String, Seq[DataFrame]]
@@ -313,9 +348,6 @@ object Datalog {
               delta = counted.map(c => c._1 -> c._2).toMap
             }
           }
-        } finally {
-          spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
         // defined-but-EMPTY relations must still exist (a later stratum
         // may bind or negate them; run(target) may name them): type each

@@ -36,18 +36,24 @@ object EloStream {
     def merge(batchId: Long, rows: Seq[(String, Array[Long])]): Unit =
       synchronized {
         if (batchId > lastApplied) {
-          lastApplied = batchId
+          // fold into scratch copies and publish (ratings, day count,
+          // high-water mark) only after the whole fold completes: if any
+          // row throws mid-batch the store is untouched and NOT marked
+          // applied, so the foreachBatch retry re-runs the batch — the
+          // same merge ordering every other streaming store uses
+          val work = r.clone()
+          var newDays = days
           rows.sortBy(_._1).foreach { case (_, cs) =>
-            days += 1
-            val pre = r.clone()
+            newDays += 1
+            val pre = work.clone()
             var i = 0
-            while (i < r.length) {
+            while (i < work.length) {
               // identical evaluation order to q547's codegen fold: the
               // j-terms accumulate ascending, each (S − E) subtracted
               // before adding to the accumulator
               var acc = 0.0
               var j = 0
-              while (j < r.length) {
+              while (j < work.length) {
                 if (j != i) {
                   val s =
                     if (cs(i) > cs(j)) 1.0
@@ -58,11 +64,14 @@ object EloStream {
                 }
                 j += 1
               }
-              r(i) = BigDecimal(pre(i) + K * acc)
+              work(i) = BigDecimal(pre(i) + K * acc)
                 .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
               i += 1
             }
           }
+          System.arraycopy(work, 0, r, 0, r.length)
+          days = newDays
+          lastApplied = batchId
         }
       }
 

@@ -208,9 +208,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q541_fleiss_kappa"        -> 3,   // 3-row annotator fan-out + 1-row category totals
     "q542_mcc_ovr"             -> 1,   // 1-row grand-total broadcast onto the |langs| marginal frame
     "q543_rbo"                 -> 10,  // 10-row depth dimension onto the ≤20-row ranked pool
-    "q548_garch_grid"          -> 9,
+    "q548_garch_grid"          -> 9,   // 9-row (α,β) grid onto the 1-row packed return series, then a 1-row best-ll broadcast
     "q557_krippendorff_alpha"  -> 3,   // 3-row annotator fan-out (q541's fixture) + 1-row census reports
-    "q558_markov_entropy_rate" -> 1,   // inherits q496's 1-row grand-total broadcast (the composition idiom)   // 9-row (α,β) grid onto the 1-row packed return series, then a 1-row best-ll broadcast
+    "q558_markov_entropy_rate" -> 1,   // inherits q496's 1-row grand-total broadcast (the composition idiom)
     "q549_min_k_prob"          -> 1,   // 1-row corpus-total broadcast onto the token census
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
