@@ -152,6 +152,63 @@ object OnlineStoreOps {
       FROM pairs WHERE nxt IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** EloStream store dashboard: maintain the standing ratings from
+    * `Slices` contiguous day-range batches of q547's daily cents frame
+    * (each batch is exactly EloStream.maintain's shape — one
+    * day-aggregated row per day, day-ordered across batches), with
+    * batch 2 deliberately delivered twice: the store's batch-id
+    * high-water mark must skip the replay or every batch-2 day would
+    * fold twice and all later ratings drift. Readout = the standing
+    * ratings + day count, which must equal q547's batch fold
+    * BIT-FOR-BIT (identical recurrence, identical round(·,9) per-step
+    * quantization, identical j-term order — EloStreamSpec proves the
+    * slicing invariance; this query makes the store READ-OUT itself
+    * oracle-checked, closing the one streaming store that had no
+    * dashboard).
+    *
+    * Scale shape: the corpus-sized work (join + hash agg to daily
+    * cents) is distributed; only |days| day-aggregated rows reach the
+    * driver — model-sized by the calendar (the TPC-H orderdate span is
+    * ~2.4k days at EVERY scale factor), the same bound
+    * EloStream.maintain's own foreachBatch collect carries. */
+  val q560EloStoreDashboard: QueryDef = QueryDef(
+    "q560_elo_store_dashboard",
+    (s, dir) => {
+      import s.implicits._
+      // |days| rows, calendar-bounded — see the scale note above
+      val dayRows = RatingOps.dailyCents(s, dir)
+        .orderBy(col("day"))
+        .select(col("day").cast("string"),
+          col("c0"), col("c1"), col("c2"), col("c3"), col("c4"))
+        .collect()
+        .map(r => (r.getString(0), Array.tabulate(5)(i => r.getLong(i + 1))))
+      val store = new graft.streaming.EloStream.EloStore(5)
+      val per = math.max(1, (dayRows.length + Slices - 1) / Slices)
+      dayRows.grouped(per).zipWithIndex.foreach { case (batch, i) =>
+        store.merge(i.toLong, batch.toIndexedSeq)
+        if (i == 2) store.merge(i.toLong, batch.toIndexedSeq) // replayed delivery
+      }
+      val ratings = store.snapshot
+      RatingOps.Brands.zipWithIndex.map { case (b, i) =>
+        (b, store.nDays,
+          BigDecimal(ratings(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }.toDF("brand", "n_days", "elo").orderBy(col("brand"))
+    },
+    Some {
+      s"""WITH RECURSIVE ${RatingOps.eloCteSql}
+      SELECT b.brand,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+        b.elo
+      FROM (
+        ${RatingOps.Brands.zipWithIndex.map { case (b, i) =>
+          s"SELECT '$b' AS brand, round((SELECT r$i FROM final), 6) AS elo"
+        }.mkString("\n        UNION ALL\n        ")}
+      ) b
+      ORDER BY b.brand"""
+    })
+
   val all: Seq[QueryDef] =
-    Seq(q544QuantileStoreDashboard, q545MarkovStoreDashboard)
+    Seq(q544QuantileStoreDashboard, q545MarkovStoreDashboard,
+      q560EloStoreDashboard)
 }

@@ -26,29 +26,79 @@ import org.apache.spark.sql.types.DecimalType
   */
 object RatingOps {
 
-  private val Brands = Seq("Brand#1", "Brand#2", "Brand#3", "Brand#4",
+  private[ops] val Brands = Seq("Brand#1", "Brand#2", "Brand#3", "Brand#4",
     "Brand#5")
   private val K = 32.0
+
+  /** The daily round-robin inputs: one row per trading day with the 5
+    * exact per-brand cent totals (day, c0..c4) — shared by q547's batch
+    * fold and q560's store-dashboard replay so both feed the identical
+    * sequence. */
+  private[ops] def dailyCents(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables(s, dir)
+    val cents = t.lineitem
+      .join(broadcast(t.part.filter(col("p_brand").isin(Brands: _*))
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(to_date(col("o_orderdate")).as("day"), col("p_brand"))
+      .agg(floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(22, 8))) * 100).cast("long").as("cents"))
+    val dayCols = Brands.zipWithIndex.map { case (b, i) =>
+      coalesce(sum(when(col("p_brand") === b, col("cents"))), lit(0L))
+        .as(s"c$i")
+    }
+    cents.groupBy(col("day")).agg(dayCols.head, dayCols.tail: _*)
+  }
+
+  /** The shared DuckDB CTE chain (cents → daily → idx → recursive elo →
+    * final): q547 appends its win census; q560 reads final directly. */
+  private[ops] def eloCteSql: String = {
+    val brandIn = Brands.map(b => s"'$b'").mkString(", ")
+    // per-rating update: the j-terms in ascending j order, left-assoc —
+    // exactly the Spark fold's addition order
+    def upd(i: Int): String = {
+      val terms = (0 to 4).filter(_ != i).map { j =>
+        s"""((CASE WHEN d.c$i > d.c$j THEN 1.0 WHEN d.c$i < d.c$j THEN 0.0 ELSE 0.5 END)
+            - 1.0 / (1.0 + power(10.0, (e.r$j - e.r$i) / 400.0)))"""
+      }
+      s"round(e.r$i + 32.0 * (${terms.mkString(" + ")}), 9)"
+    }
+    s"""cents AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS day, p.p_brand,
+          CAST(floor(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+            AS DECIMAL(22,8))) * 100) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+          AND p.p_brand IN ($brandIn)
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2),
+      daily AS (
+        SELECT day,
+          ${Brands.zipWithIndex.map { case (b, i) =>
+            s"COALESCE(SUM(CASE WHEN p_brand = '$b' THEN cents END), 0) AS c$i"
+          }.mkString(",\n          ")}
+        FROM cents GROUP BY 1),
+      idx AS (SELECT *, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+      elo(t, r0, r1, r2, r3, r4) AS (
+        -- DOUBLE base case: a bare 1500.0 literal would pin every
+        -- recursive column to DECIMAL(5,1) and quantize the whole fold
+        SELECT 0, CAST(1500.0 AS DOUBLE), CAST(1500.0 AS DOUBLE),
+          CAST(1500.0 AS DOUBLE), CAST(1500.0 AS DOUBLE),
+          CAST(1500.0 AS DOUBLE)
+        UNION ALL
+        SELECT e.t + 1, ${(0 to 4).map(upd).mkString(",\n          ")}
+        FROM elo e JOIN idx d ON d.t = e.t + 1),
+      final AS (
+        SELECT * FROM elo ORDER BY t DESC LIMIT 1)"""
+  }
 
   val q547EloRatings: QueryDef = QueryDef(
     "q547_elo_ratings",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val cents = t.lineitem
-        .join(broadcast(t.part.filter(col("p_brand").isin(Brands: _*))
-          .select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(to_date(col("o_orderdate")).as("day"), col("p_brand"))
-        .agg(floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(22, 8))) * 100).cast("long").as("cents"))
-      val dayCols = Brands.zipWithIndex.map { case (b, i) =>
-        coalesce(sum(when(col("p_brand") === b, col("cents"))), lit(0L))
-          .as(s"c$i")
-      }
-      val daily = cents.groupBy(col("day"))
-        .agg(dayCols.head, dayCols.tail: _*)
+      val daily = dailyCents(s, dir)
         .localCheckpoint() // the fold row and the win census both read it
       // the whole day sequence as ONE sorted array in ONE row; the Elo
       // fold is a single codegen aggregate over it
@@ -93,43 +143,7 @@ object RatingOps {
         .orderBy(col("brand"))
     },
     Some {
-      val brandIn = Brands.map(b => s"'$b'").mkString(", ")
-      // per-rating update: the j-terms in ascending j order, left-assoc —
-      // exactly the Spark fold's addition order
-      def upd(i: Int): String = {
-        val terms = (0 to 4).filter(_ != i).map { j =>
-          s"""((CASE WHEN d.c$i > d.c$j THEN 1.0 WHEN d.c$i < d.c$j THEN 0.0 ELSE 0.5 END)
-              - 1.0 / (1.0 + power(10.0, (e.r$j - e.r$i) / 400.0)))"""
-        }
-        s"round(e.r$i + 32.0 * (${terms.mkString(" + ")}), 9)"
-      }
-      s"""WITH RECURSIVE cents AS (
-        SELECT CAST(o.o_orderdate AS DATE) AS day, p.p_brand,
-          CAST(floor(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-            AS DECIMAL(22,8))) * 100) AS BIGINT) AS cents
-        FROM lineitem l
-        JOIN part p ON p.p_partkey = l.l_partkey
-          AND p.p_brand IN ($brandIn)
-        JOIN orders o ON o.o_orderkey = l.l_orderkey
-        GROUP BY 1, 2),
-      daily AS (
-        SELECT day,
-          ${Brands.zipWithIndex.map { case (b, i) =>
-            s"COALESCE(SUM(CASE WHEN p_brand = '$b' THEN cents END), 0) AS c$i"
-          }.mkString(",\n          ")}
-        FROM cents GROUP BY 1),
-      idx AS (SELECT *, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
-      elo(t, r0, r1, r2, r3, r4) AS (
-        -- DOUBLE base case: a bare 1500.0 literal would pin every
-        -- recursive column to DECIMAL(5,1) and quantize the whole fold
-        SELECT 0, CAST(1500.0 AS DOUBLE), CAST(1500.0 AS DOUBLE),
-          CAST(1500.0 AS DOUBLE), CAST(1500.0 AS DOUBLE),
-          CAST(1500.0 AS DOUBLE)
-        UNION ALL
-        SELECT e.t + 1, ${(0 to 4).map(upd).mkString(",\n          ")}
-        FROM elo e JOIN idx d ON d.t = e.t + 1),
-      final AS (
-        SELECT * FROM elo ORDER BY t DESC LIMIT 1),
+      s"""WITH RECURSIVE $eloCteSql,
       census AS (
         SELECT ${(0 to 4).map { i =>
           val w = (0 to 4).filter(_ != i)
