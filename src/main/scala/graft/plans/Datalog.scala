@@ -54,6 +54,125 @@ object Datalog {
       else { val n = new AnyRef; clampMonitors.put(s, n); n }
     }
 
+  /** Total order on UnsafeRow bytes (size first, then 8-byte chunks —
+    * rows are 8-byte padded): consistent with UnsafeRow.equals, which is
+    * all the solution-set sort-merge needs; the order itself carries no
+    * meaning. */
+  private[plans] def compareRows(
+      a: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      b: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Int = {
+    import org.apache.spark.unsafe.Platform
+    val la = a.getSizeInBytes
+    val lb = b.getSizeInBytes
+    if (la != lb) return Integer.compare(la, lb)
+    val ao = a.getBaseObject; val aof = a.getBaseOffset
+    val bo = b.getBaseObject; val bof = b.getBaseOffset
+    var i = 0
+    while (i < la) {
+      val va = Platform.getLong(ao, aof + i)
+      val vb = Platform.getLong(bo, bof + i)
+      if (va != vb) return java.lang.Long.compare(va, vb)
+      i += 8
+    }
+    0
+  }
+
+  /** A partition-local sorted run of UnsafeRow payloads held as TWO
+    * primitive arrays (packed bytes + entry offsets). This is what the
+    * recursive solution set is made of: a 2.5M-row partition slice is 2
+    * heap objects totalling ~entry bytes — the block manager accounts
+    * it at its true byte size (an object-per-row structure was
+    * size-estimated at ~4× and the old+new coexistence during a round's
+    * merge blew the storage pool, serialization-evicting live blocks
+    * every round on the 100× leg), the collector scans it in O(1), a
+    * spill is a bulk write, and a merge is memcpy-speed appendRange
+    * calls. Entries are UnsafeRow bytes (8-byte padded), kept in
+    * compareRows order. 2 GB per partition slice bounds an arena —
+    * ~80M two-long tuples; the width formula keeps slices ~500k rows. */
+  private[plans] final class Arena(val bytes: Array[Byte],
+                                   val offs: Array[Int]) extends Serializable {
+    def count: Int = offs.length - 1
+    def len(i: Int): Int = offs(i + 1) - offs(i)
+  }
+  private[plans] object Arena {
+    val empty = new Arena(Array.emptyByteArray, Array(0))
+  }
+
+  private[plans] final class ArenaBuilder(byteHint: Int, entryHint: Int) {
+    private var bs = new Array[Byte](math.max(64, byteHint))
+    private var os = new Array[Int](math.max(16, entryHint + 1))
+    private var nEntries = 0
+    private var nBytes = 0
+    private def ensureBytes(extra: Int): Unit =
+      if (nBytes.toLong + extra > bs.length) {
+        var cap = math.max(bs.length.toLong * 2, 64L)
+        while (cap < nBytes.toLong + extra) cap *= 2
+        require(cap <= Int.MaxValue - 16,
+          "arena partition slice exceeds 2 GB — raise the fixpoint hash width")
+        bs = java.util.Arrays.copyOf(bs, cap.toInt)
+      }
+    private def ensureEntries(extra: Int): Unit =
+      if (nEntries + extra + 1 > os.length)
+        os = java.util.Arrays.copyOf(os,
+          math.max(os.length * 2, nEntries + extra + 2))
+    def appendRow(u: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Unit = {
+      import org.apache.spark.unsafe.Platform
+      val l = u.getSizeInBytes
+      ensureBytes(l); ensureEntries(1)
+      Platform.copyMemory(u.getBaseObject, u.getBaseOffset,
+        bs, Platform.BYTE_ARRAY_OFFSET + nBytes, l)
+      nBytes += l; nEntries += 1; os(nEntries) = nBytes
+    }
+    /** Bulk-copy entries [from, to) of `a` — one arraycopy for the bytes. */
+    def appendRange(a: Arena, from: Int, to: Int): Unit = if (to > from) {
+      val bFrom = a.offs(from); val l = a.offs(to) - bFrom
+      ensureBytes(l); ensureEntries(to - from)
+      System.arraycopy(a.bytes, bFrom, bs, nBytes, l)
+      val shift = nBytes - bFrom
+      var i = from + 1
+      while (i <= to) { nEntries += 1; os(nEntries) = a.offs(i) + shift; i += 1 }
+      nBytes += l
+    }
+    def result(): Arena = new Arena(
+      java.util.Arrays.copyOf(bs, nBytes),
+      java.util.Arrays.copyOf(os, nEntries + 1))
+  }
+
+  /** compareRows order between arena entry `i` and an UnsafeRow. */
+  private[plans] def compareEntry(a: Arena, i: Int,
+      u: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Int = {
+    import org.apache.spark.unsafe.Platform
+    val off = a.offs(i); val la = a.offs(i + 1) - off
+    val lb = u.getSizeInBytes
+    if (la != lb) return Integer.compare(la, lb)
+    val bo = u.getBaseObject; val bof = u.getBaseOffset
+    var p = 0
+    while (p < la) {
+      val va = Platform.getLong(a.bytes, Platform.BYTE_ARRAY_OFFSET + off + p)
+      val vb = Platform.getLong(bo, bof + p)
+      if (va != vb) return java.lang.Long.compare(va, vb)
+      p += 8
+    }
+    0
+  }
+
+  /** Scan an arena as InternalRows through ONE reused cursor (the
+    * standard Spark row-iterator contract: valid until next()). */
+  private[plans] def arenaRows(a: Arena, numFields: Int)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.unsafe.Platform
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.UnsafeRow(numFields)
+      private var i = 0
+      def hasNext: Boolean = i < a.count
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        row.pointTo(a.bytes, Platform.BYTE_ARRAY_OFFSET + a.offs(i), a.len(i))
+        i += 1
+        row
+      }
+    }
+
   sealed trait Term
   final case class V(name: String) extends Term
   final case class C(value: Any) extends Term
@@ -65,12 +184,62 @@ object Datalog {
   /** Comparison guard over bound variables/constants. */
   final case class Guard(op: String, left: Term, right: Term)
 
+  /** Computed binding: after the body joins, bind `name` to the SQL
+    * expression `sqlExpr` over the bound variables (the arithmetic
+    * datalog needs for semiring recursion — e.g. `nd = d + w`). The
+    * name must be fresh (no collision with any variable in the rule). */
+  final case class Let(name: String, sqlExpr: String)
+
+  /** Aggregate head (semiring recursion): the head term at position
+    * `at` is FOLDED with `op` ("min" | "max") grouped by the remaining
+    * head terms — the relation is a map key→value where a fact is
+    * subsumed by a better-valued fact for the same key. min/max only:
+    * both are idempotent, commutative, associative AND monotone under
+    * the improvement order, so semi-naive evaluation with
+    * improvement-only deltas reaches the same fixpoint as naive
+    * evaluation (Ross & Sagiv 1992's monotonic aggregation; exactly
+    * the Flink delta-iteration / SsspOps loop, derived from the rule).
+    * Every rule for a folded head must declare the same Fold; the
+    * value column must be an integral/double column and the head needs
+    * at least one key term. */
+  final case class Fold(op: String, at: Int) {
+    require(op == "min" || op == "max", s"fold op $op (min|max only)")
+  }
+
   final case class Rule(head: Atom, body: Seq[Atom],
-                        guards: Seq[Guard] = Nil)
+                        guards: Seq[Guard] = Nil,
+                        lets: Seq[Let] = Nil,
+                        fold: Option[Fold] = None)
 
   final case class Program(rules: Seq[Rule]) {
 
     private val idb: Set[String] = rules.map(_.head.rel).toSet
+
+    /** Fold per folded head rel; every rule for a head must agree. */
+    private val foldSpec: Map[String, Fold] = {
+      val byHead = rules.groupBy(_.head.rel)
+      byHead.flatMap { case (rel, rs) =>
+        val fs = rs.map(_.fold).distinct
+        require(fs.size == 1,
+          s"$rel: every rule for a head must declare the same fold (got $fs)")
+        fs.head.foreach { f =>
+          val arity = rs.head.head.terms.length
+          require(f.at >= 0 && f.at < arity, s"$rel: fold.at ${f.at} out of arity $arity")
+          require(arity >= 2, s"$rel: a folded head needs at least one key term")
+          require(rs.forall(_.head.terms(f.at).isInstanceOf[V]),
+            s"$rel: the folded head term must be a variable")
+        }
+        fs.head.map(rel -> _)
+      }
+    }
+    rules.foreach { r =>
+      // a let must be FRESH w.r.t. the body's variables (the head
+      // naming it is the point — that is how the computed value flows
+      // out); colliding with a body var would silently shadow a join key
+      val bodyVars = r.body.flatMap(_.terms).collect { case V(n) => n }.toSet
+      r.lets.foreach(l => require(!bodyVars.contains(l.name),
+        s"rule for ${r.head.rel}: let ${l.name} collides with a body variable"))
+    }
 
     /** Stratum per IDB relation (Ullman's iterated assignment).
       * Fails on recursion through negation. */
@@ -155,6 +324,13 @@ object Datalog {
             acc.join(f, shared)
           }
       }
+      // computed bindings: fresh names over the bound vars, visible to
+      // guards and the head projection
+      rule.lets.foreach { l =>
+        require(!acc.columns.contains(l.name),
+          s"rule for ${rule.head.rel}: let ${l.name} shadows a bound var")
+        acc = acc.withColumn(l.name, expr(l.sqlExpr))
+      }
       val bound = acc.columns.toSet
       rule.guards.foreach { g => acc = acc.filter(guardCol(bound, g)) }
       rule.body.filter(_.negated).foreach { a =>
@@ -173,6 +349,19 @@ object Datalog {
       // RAW projection — the caller dedups ONCE per head per round (one
       // distinct + one anti-join instead of one per firing)
       acc.select(proj: _*)
+    }
+
+    /** Reduce a folded head's candidates to one best value per key —
+      * groupBy(keys).agg(min|max(value)), columns restored to ordinal
+      * order. The groupBy's own exchange is the hash(keys, width) layout
+      * the recursive solution maps live in. */
+    private def reduceFold(df: DataFrame, f: Fold): DataFrame = {
+      val cols = df.columns.sortBy(_.drop(2).toInt).toSeq
+      val valCol = s"_p${f.at}"
+      val keyCols = cols.filterNot(_ == valCol)
+      val agg = if (f.op == "min") min(col(valCol)) else max(col(valCol))
+      df.groupBy(keyCols.map(col): _*).agg(agg.as(valCol))
+        .select(cols.map(col): _*)
     }
 
     /** Run the program over extensional relations `edb`; returns the
@@ -256,8 +445,6 @@ object Datalog {
             }
           }
         var full = Map.empty[String, DataFrame]
-        var delta = Map.empty[String, DataFrame]
-        var legs = Map.empty[String, Vector[DataFrame]]
         withClamp {
           // seed: fire every rule with recursive atoms bound to EMPTY —
           // i.e. only firings that need no same-stratum fact yet
@@ -271,81 +458,339 @@ object Datalog {
                 seeds.getOrElse(r.head.rel, Nil) :+ f)
             }
           }
-          full = seeds.map { case (k, fs) =>
-            val merged = fs.reduceLeft(_.unionByName(_)).distinct()
-            k -> (if (materializeSeeds || recursive.contains(k))
-                    merged.localCheckpoint()
-                  else merged)
-          }
-          legs = full.map { case (k, v) => k -> Vector(v) }
-          delta = full
-          var changed = full.nonEmpty && isRec
-          val trace = sys.env.contains("GRAFT_DL_TRACE")
-          var round = 0
-          while (changed) {
-            round += 1
-            val t0 = System.nanoTime()
-            val avail = rels ++ full
-            // RAW firings per head; dedup + leg-wise anti ONCE per head
-            var raw = Map.empty[String, Seq[DataFrame]]
-            stratumRules.foreach { r =>
-              val recPositions = r.body.filter(a =>
-                !a.negated && recursive.contains(a.rel))
-              recPositions.indices.foreach { pos =>
-                // every source must exist: a same-stratum rel with no
-                // seed yet (no base-rule facts) is empty — skip firings
-                // that read it outside the delta slot
-                if (delta.contains(recPositions(pos).rel) &&
-                    r.body.forall(a => avail.contains(a.rel))) {
-                  val f = fire(r, avail, recursive.toSet, pos, delta)
-                  raw = raw.updated(r.head.rel,
-                    raw.getOrElse(r.head.rel, Nil) :+ f)
+          if (!isRec) {
+            full = seeds.map { case (k, fs) =>
+              val unioned = fs.reduceLeft(_.unionByName(_))
+              val merged = foldSpec.get(k) match {
+                case Some(f) => reduceFold(unioned, f) // one best per key
+                case None    => unioned.distinct()
+              }
+              k -> (if (materializeSeeds) merged.localCheckpoint() else merged)
+            }
+          } else {
+            // ——— the in-place partitioned solution set (r14) ———
+            //
+            // Per head, the solution set is ONE cached RDD holding, per
+            // partition, (hash set of every known fact, the facts that
+            // were NEW in the latest round) — partitions laid out by
+            // HashPartitioning(all tuple columns, N) so each round's
+            // candidates land on the partition that owns their identity.
+            // The per-round novelty check, dedup AND merge are a single
+            // zipPartitions pass: ONE consumer (the set) per task instead
+            // of the r13 chain of ≤32 per-leg hash builds, whose
+            // simultaneous memory reservations starved the 100× leg at a
+            // 32 g driver ("got 0" acquire failures; BASELINE.md ledger).
+            // The merged facts flow back to Catalyst through a LogicalRDD
+            // bridge that declares the layout the rows physically have,
+            // so downstream consumers see an exchange-free scan. The
+            // r12→r13 invariants hold: per-round shuffle volume ∝ NEW
+            // candidates (the one repartition — the r13 per-round
+            // distinct exchange is gone, dedup rides the set insert),
+            // the accumulated state is never re-shuffled, and rule
+            // evaluation still reads plain DataFrames.
+            import org.apache.spark.rdd.RDD
+            import org.apache.spark.sql.catalyst.InternalRow
+            import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+            import org.apache.spark.sql.graftbridge.ColumnBridge
+            import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
+            // Per-partition state: a sorted byte ARENA (see Arena above)
+            // for set-semantics heads; (sorted key arena, matching full-
+            // row arena) for folded heads. The round merge is a
+            // sort-merge walk: sort the delta-sized candidates, one
+            // linear walk against the standing arena with bulk
+            // appendRange copies between insertion points, publish a
+            // FRESH arena (or the untouched old one when nothing
+            // landed). Chosen after measuring three structures on the
+            // 100× leg at 32 g: a java.util.HashSet clone made round
+            // cost grow with the CLOSURE (rounds 5/6/7 = 30/56/78 s);
+            // an immutable CHAMP trie traded the copy for per-insert
+            // node churn that GC-thrashed past ~100M rows (round 8 =
+            // 112 s, round 9 = 197 s); object-per-row sorted arrays
+            // merged fast but were size-ESTIMATED at ~4× their bytes,
+            // so the old+new block coexistence during a round blew the
+            // storage pool and serialization-evicted live blocks every
+            // round (~100 s/round flat). The arena is accounted at its
+            // true byte size, the collector scans 2 objects per slice,
+            // and a spill (if ever) is one bulk write. Retry-safe:
+            // published arenas are never mutated, so a task retry or
+            // speculative re-run replays against the untouched base and
+            // emits the same novel facts.
+            type Pair = (AnyRef, Arena) // (state, the round's novel rows)
+            case class Sol(pair: RDD[Pair], schema: StructType)
+            var sol = Map.empty[String, Sol]
+            var delta = Map.empty[String, DataFrame]
+            val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+            def ordinal(cols: Array[String]): Seq[String] =
+              cols.sortBy(_.drop(2).toInt).toSeq // _p0.._pN by position
+
+            // one streaming pass per task: dedup within the candidates,
+            // novelty-filter (set) / improvement-filter (fold) against
+            // the prior state, merge — the clone shares the fact
+            // objects, so retained heap stays one copy of the relation
+            // plus two transient tables
+            def mergeInto(cand: DataFrame, prev: Option[Sol], k: String): Sol = {
+              val schema = prev.map(_.schema).getOrElse(
+                StructType(cand.schema.fields.map(_.copy(nullable = true))))
+              val cols = ordinal(cand.columns)
+              val absorb: (Iterator[InternalRow], AnyRef) => Iterator[Pair] =
+                foldSpec.get(k) match {
+                  case None =>
+                    (cIt, base0) => {
+                      val old = base0.asInstanceOf[Arena]
+                      val buf =
+                        scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+                      cIt.foreach(ir => // exchange iterators reuse buffers
+                        buf += ir.asInstanceOf[UnsafeRow].copy())
+                      if (buf.isEmpty) Iterator((old, Arena.empty))
+                      else {
+                        val cand = buf.toArray
+                        java.util.Arrays.sort(cand,
+                          ((a, b) => compareRows(a, b)):
+                            java.util.Comparator[UnsafeRow])
+                        val sol = new ArenaBuilder(
+                          old.bytes.length + 32 * cand.length,
+                          old.count + cand.length)
+                        val nov = new ArenaBuilder(1024, 64)
+                        var i = 0; var lo = 0; var j = 0
+                        while (j < cand.length) {
+                          val c = cand(j)
+                          // sorted candidates: duplicates are adjacent
+                          if (j > 0 && compareRows(c, cand(j - 1)) == 0) j += 1
+                          else {
+                            var cmp = 1
+                            while (i < old.count &&
+                                   { cmp = compareEntry(old, i, c); cmp < 0 })
+                              i += 1
+                            sol.appendRange(old, lo, i) // kept stretch, one memcpy
+                            if (i < old.count && cmp == 0) {
+                              sol.appendRange(old, i, i + 1); i += 1 // known fact
+                            } else { sol.appendRow(c); nov.appendRow(c) }
+                            lo = i
+                            j += 1
+                          }
+                        }
+                        sol.appendRange(old, lo, old.count)
+                        val novA = nov.result()
+                        if (novA.count == 0) Iterator((old, novA))
+                        else Iterator((sol.result(), novA))
+                      }
+                    }
+                  case Some(f) =>
+                    val vi = f.at
+                    val isMin = f.op == "min"
+                    val keyIdx = cols.indices.filterNot(_ == vi).toArray
+                    val types = schema.fields.map(_.dataType)
+                    val better: (UnsafeRow, UnsafeRow) => Boolean =
+                      types(vi) match {
+                        case LongType =>
+                          if (isMin) (a, b) => a.getLong(vi) < b.getLong(vi)
+                          else (a, b) => a.getLong(vi) > b.getLong(vi)
+                        case IntegerType =>
+                          if (isMin) (a, b) => a.getInt(vi) < b.getInt(vi)
+                          else (a, b) => a.getInt(vi) > b.getInt(vi)
+                        case DoubleType =>
+                          if (isMin) (a, b) => a.getDouble(vi) < b.getDouble(vi)
+                          else (a, b) => a.getDouble(vi) > b.getDouble(vi)
+                        case other => throw new IllegalArgumentException(
+                          s"$k: fold value type $other (long/int/double only)")
+                      }
+                    val nf = schema.size
+                    (cIt, base0) => {
+                      // state: (key arena sorted by compareRows, full-row
+                      // arena in matching entry order). reduceFold
+                      // guarantees one candidate per key per round, so
+                      // the walk needs no intra-candidate dedup — only
+                      // the improvement check.
+                      val (okeys, orows) = base0.asInstanceOf[(Arena, Arena)]
+                      val proj = UnsafeProjection.create(keyIdx.toIndexedSeq
+                        .map(i => BoundReference(i, types(i), nullable = true)))
+                      val buf = scala.collection.mutable.ArrayBuffer
+                        .empty[(UnsafeRow, UnsafeRow)]
+                      cIt.foreach { ir =>
+                        val u = ir.asInstanceOf[UnsafeRow]
+                        if (!u.isNullAt(vi)) // SQL agg semantics: nulls fold away
+                          buf += ((proj(u).copy(), u.copy()))
+                      }
+                      if (buf.isEmpty) Iterator(((okeys, orows), Arena.empty))
+                      else {
+                        val cand = buf.toArray
+                        java.util.Arrays.sort(cand,
+                          ((p, q) => compareRows(p._1, q._1)):
+                            java.util.Comparator[(UnsafeRow, UnsafeRow)])
+                        val mk = new ArenaBuilder(
+                          okeys.bytes.length + 24 * cand.length,
+                          okeys.count + cand.length)
+                        val mr = new ArenaBuilder(
+                          orows.bytes.length + 32 * cand.length,
+                          okeys.count + cand.length)
+                        val nov = new ArenaBuilder(1024, 64)
+                        val cursor =
+                          new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nf)
+                        var i = 0; var lo = 0; var j = 0
+                        while (j < cand.length) {
+                          val (k2, r2) = cand(j)
+                          var cmp = 1
+                          while (i < okeys.count &&
+                                 { cmp = compareEntry(okeys, i, k2); cmp < 0 })
+                            i += 1
+                          mk.appendRange(okeys, lo, i)
+                          mr.appendRange(orows, lo, i)
+                          if (i < okeys.count && cmp == 0) {
+                            cursor.pointTo(orows.bytes,
+                              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+                                + orows.offs(i), orows.len(i))
+                            if (better(r2, cursor)) {
+                              mk.appendRow(k2); mr.appendRow(r2); nov.appendRow(r2)
+                            } else {
+                              mk.appendRange(okeys, i, i + 1)
+                              mr.appendRange(orows, i, i + 1)
+                            }
+                            i += 1
+                          } else {
+                            mk.appendRow(k2); mr.appendRow(r2); nov.appendRow(r2)
+                          }
+                          lo = i
+                          j += 1
+                        }
+                        mk.appendRange(okeys, lo, okeys.count)
+                        mr.appendRange(orows, lo, orows.count)
+                        val novA = nov.result()
+                        if (novA.count == 0) Iterator(((okeys, orows), novA))
+                        else Iterator(((mk.result(), mr.result()), novA))
+                      }
+                    }
+                }
+              val emptyState: () => AnyRef = foldSpec.get(k) match {
+                case None    => () => Arena.empty
+                case Some(_) => () => (Arena.empty, Arena.empty)
+              }
+              // layout: folded heads pre-reduce per key (one min/max per
+              // key per round reaches the merge) and the groupBy's own
+              // exchange IS the hash(keys, n) layout; set heads lay out
+              // by the whole tuple
+              val laidOut = foldSpec.get(k) match {
+                case Some(f) => reduceFold(cand, f)
+                case None    => cand.repartition(n, cols.map(col): _*)
+              }
+              val candRdd = {
+                val raw = laidOut.queryExecution.toRdd
+                if (raw.getNumPartitions == n) raw
+                else {
+                  // PropagateEmptyRelation collapses a provably-empty
+                  // candidate plan (e.g. a rule over an empty EDB
+                  // LocalRelation) to a 0/1-partition LocalTableScan —
+                  // the only way the explicit n-wide layout disappears.
+                  // Substitute an n-wide empty RDD so the zip stays legal.
+                  require(raw.isEmpty(),
+                    s"candidate layout lost its $n-partition hash layout " +
+                      s"on a NON-empty plan: ${laidOut.queryExecution}")
+                  spark.sparkContext.parallelize(Seq.empty[InternalRow], n)
                 }
               }
-            }
-            val next = raw.map { case (k, fs) =>
-              val merged = fs.reduceLeft(_.unionByName(_)).distinct()
-              val keys = merged.columns.toSeq
-              // exchange-free novelty check: chained co-partitioned
-              // anti-joins, one delta-sized hash build per leg
-              k -> legs.getOrElse(k, Vector.empty).foldLeft(merged)(
-                (acc, leg) => acc.join(leg.hint("shuffle_hash"),
-                  keys, "left_anti"))
-            }
-            // lazy checkpoint: count() both materializes it and probes
-            // convergence — one Spark job, not checkpoint-then-count
-            val counted = next.map { case (k, v) =>
-              (k, v.localCheckpoint(false)) }.map { case (k, v) =>
-              (k, v, v.count()) }.filter(_._3 > 0)
-            if (trace) System.err.println(
-              f"[datalog] round $round%2d: " +
-                s"delta=${counted.map(_._3).sum} " +
-                f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-            if (counted.isEmpty) changed = false
-            else {
-              counted.foreach { case (rel, d, _) =>
-                var ls = legs.getOrElse(rel, Vector.empty) :+ d
-                // bound plan width & per-round probe count on DEEP
-                // fixpoints: at 32 legs fold the solution set back into
-                // ONE co-partitioned leg (repartition on the tuple
-                // columns at the same fixed width, so co-partitioning
-                // survives). Measured: compacting more eagerly (every 8)
-                // cost MORE than the chained probes it saved — the
-                // probe-side hash builds are cheap, re-materializing the
-                // closure is not
-                if (ls.size >= 32) {
-                  val merged = ls.reduceLeft(_.unionByName(_))
-                  val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-                  ls = Vector(merged
-                    .repartition(n, merged.columns.map(col).toIndexedSeq: _*)
-                    .localCheckpoint())
-                }
-                legs = legs.updated(rel, ls)
-                full = full.updated(rel,
-                  if (ls.size == 1) ls.head
-                  else full.get(rel).map(_.unionByName(d)).getOrElse(d))
+              val pair = prev match {
+                case Some(p) =>
+                  candRdd.zipPartitions(p.pair.map(_._1),
+                    preservesPartitioning = true) { (cIt, sIt) =>
+                    absorb(cIt, if (sIt.hasNext) sIt.next() else emptyState())
+                  }
+                case None =>
+                  candRdd.mapPartitions(
+                    cIt => absorb(cIt, emptyState()),
+                    preservesPartitioning = true)
               }
-              delta = counted.map(c => c._1 -> c._2).toMap
+              pair.localCheckpoint() // lineage cut at the cached blocks
+              Sol(pair, schema)
+            }
+            // materializes the pair (the round's ONE job per head) and
+            // probes convergence in the same pass
+            def novelCount(s: Sol): Long =
+              s.pair.map(_._2.count.toLong).sum().toLong
+            def hashCols(k: String, schema: StructType): Seq[String] = {
+              val cols = ordinal(schema.fieldNames)
+              foldSpec.get(k) match {
+                case Some(f) => cols.filterNot(_ == s"_p${f.at}")
+                case None    => cols
+              }
+            }
+            def bridge(k: String, s: Sol,
+                       rows: RDD[InternalRow]): DataFrame =
+              ColumnBridge.internalFrame(spark, rows, s.schema,
+                hashCols(k, s.schema), n)
+            def deltaFrame(k: String, s: Sol): DataFrame = {
+              val nf = s.schema.size
+              bridge(k, s, s.pair.mapPartitions(it =>
+                if (!it.hasNext) Iterator.empty
+                else arenaRows(it.next()._2, nf),
+                preservesPartitioning = true))
+            }
+            def fullFrame(k: String, s: Sol): DataFrame = {
+              val nf = s.schema.size
+              bridge(k, s, s.pair.mapPartitions({ it =>
+                if (!it.hasNext) Iterator.empty
+                else it.next()._1 match {
+                  case a: Arena            => arenaRows(a, nf)
+                  case (_: Arena, r: Arena) => arenaRows(r, nf)
+                }
+              }, preservesPartitioning = true))
+            }
+            def absorbHead(k: String, fs: Seq[DataFrame]): Long = {
+              val merged = fs.reduceLeft(_.unionByName(_))
+              val prev = sol.get(k)
+              val s1 = mergeInto(merged, prev, k)
+              val nNew = novelCount(s1)
+              if (nNew == 0) {
+                s1.pair.unpersist(false)
+                delta = delta.removed(k)
+              } else {
+                // s1 is materialized and lineage-cut: the prior pair's
+                // blocks are no longer reachable — drop them now
+                prev.foreach(_.pair.unpersist(false))
+                sol = sol.updated(k, s1)
+                full = full.updated(k, fullFrame(k, s1))
+                delta = delta.updated(k, deltaFrame(k, s1))
+              }
+              nNew
+            }
+
+            seeds.foreach { case (k, fs) => absorbHead(k, fs) }
+            var changed = delta.nonEmpty
+            val trace = sys.env.contains("GRAFT_DL_TRACE")
+            var round = 0
+            while (changed) {
+              round += 1
+              val t0 = System.nanoTime()
+              val avail = rels ++ full
+              // RAW firings per head; dedup + novelty ONCE per head
+              var raw = Map.empty[String, Seq[DataFrame]]
+              stratumRules.foreach { r =>
+                val recPositions = r.body.filter(a =>
+                  !a.negated && recursive.contains(a.rel))
+                recPositions.indices.foreach { pos =>
+                  // every source must exist: a same-stratum rel with no
+                  // seed yet (no base-rule facts) is empty — skip firings
+                  // that read it outside the delta slot
+                  if (delta.contains(recPositions(pos).rel) &&
+                      r.body.forall(a => avail.contains(a.rel))) {
+                    val f = fire(r, avail, recursive.toSet, pos, delta)
+                    raw = raw.updated(r.head.rel,
+                      raw.getOrElse(r.head.rel, Nil) :+ f)
+                  }
+                }
+              }
+              // after this loop, delta holds EXACTLY the heads that
+              // gained facts this round: fired heads are set/removed by
+              // absorbHead, last round's unfired heads are consumed
+              var totalNew = 0L
+              (raw.keySet ++ delta.keySet).foreach { k =>
+                raw.get(k) match {
+                  case Some(fs) => totalNew += absorbHead(k, fs)
+                  case None     => delta = delta.removed(k)
+                }
+              }
+              if (trace) System.err.println(
+                f"[datalog] round $round%2d: delta=$totalNew " +
+                  f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+              changed = delta.nonEmpty
             }
           }
         }

@@ -37,6 +37,32 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Build a DataFrame over an RDD of InternalRows, declaring the hash
+    * partitioning the rows physically have (LogicalRDD and Dataset.ofRows
+    * are private[sql]) — the bridge graft.plans.Datalog's solution-set
+    * fixpoint uses to hand zipPartitions-merged facts back to Catalyst
+    * as an exchange-free scan. `hashCols` empty ⇒ UnknownPartitioning.
+    * The caller owns the truth of the declaration: the rows MUST already
+    * be laid out by HashPartitioning(hashCols, numPartitions), or
+    * Catalyst will elide exchanges it actually needed. */
+  def internalFrame(spark: org.apache.spark.sql.SparkSession,
+                    rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                    schema: org.apache.spark.sql.types.StructType,
+                    hashCols: Seq[String],
+                    numPartitions: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, UnknownPartitioning}
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(schema)
+    val part =
+      if (hashCols.isEmpty) UnknownPartitioning(rdd.getNumPartitions)
+      else HashPartitioning(
+        hashCols.map(n => attrs(schema.fieldIndex(n))), numPartitions)
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.LogicalRDD(
+        attrs.toSeq, rdd, part, Nil, false, None)(cs, None, None))
+  }
+
   /** Surface what a SparkSessionExtensions instance would inject (the
     * builder methods are private[sql]) so the extension wiring is
     * testable without constructing a second SparkSession. */

@@ -204,6 +204,82 @@ class DatalogPropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: min-fold recursion == naive Bellman-Ford on 20 random positive-weight DAGs") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    (1 to 20).foreach { i =>
+      // random DAG: edges only low → high node id, weights 1..9, so the
+      // min fixpoint exists and naive relaxation terminates
+      val nNodes = 3 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 0 until nNodes; b <- (a + 1) until nNodes
+        if rnd.nextInt(3) == 0
+      } yield (a.toLong, b.toLong, (1 + rnd.nextInt(9)).toLong)).toVector
+      val srcs = (0 until 1 + rnd.nextInt(2))
+        .map(_ => rnd.nextInt(nNodes).toLong).distinct
+      // independent naive multi-source Bellman-Ford
+      var dist = srcs.map(_ -> 0L).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b, w) =>
+          dist.get(a).foreach { da =>
+            val nd = da + w
+            if (dist.get(b).forall(_ > nd)) { dist += (b -> nd); changed = true }
+          }
+        }
+      }
+      val program = Program(Seq(
+        Rule(Atom("dist", Seq(V("n"), V("d"))),
+          Seq(Atom("s", Seq(V("n"), V("d")))),
+          fold = Some(Fold("min", 1))),
+        Rule(Atom("dist", Seq(V("y"), V("nd"))),
+          Seq(Atom("dist", Seq(V("x"), V("d"))),
+            Atom("e", Seq(V("x"), V("y"), V("w")))),
+          lets = Seq(Let("nd", "d + w")),
+          fold = Some(Fold("min", 1)))))
+      val frames = Map(
+        "e" -> (if (edges.nonEmpty) edges.toDF("a", "b", "w")
+                else Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")),
+        "s" -> srcs.map(n => (n, 0L)).toDF("n", "d"))
+      val got = program.run(frames, "dist").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist,
+        s"case $i: engine=$got naive=$dist edges=$edges srcs=$srcs")
+    }
+  }
+
+  test("max-fold recursion: longest path on the literal diamond") {
+    import spark.implicits._
+    // 1→2 (w1), 1→3 (w5), 2→4 (w1), 3→4 (w1): longest to 4 is 6 via 3
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 5L), (2L, 4L, 1L), (3L, 4L, 1L))
+      .toDF("a", "b", "w")
+    val src = Seq((1L, 0L)).toDF("n", "d")
+    val program = Program(Seq(
+      Rule(Atom("far", Seq(V("n"), V("d"))),
+        Seq(Atom("s", Seq(V("n"), V("d")))),
+        fold = Some(Fold("max", 1))),
+      Rule(Atom("far", Seq(V("y"), V("nd"))),
+        Seq(Atom("far", Seq(V("x"), V("d"))),
+          Atom("e", Seq(V("x"), V("y"), V("w")))),
+        lets = Seq(Let("nd", "d + w")),
+        fold = Some(Fold("max", 1)))))
+    val got = program.run(Map("e" -> edges, "s" -> src), "far").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 5L, 4L -> 6L))
+  }
+
+  test("fold validation: disagreeing folds and folded-constant heads are rejected") {
+    intercept[IllegalArgumentException] {
+      Program(Seq(
+        Rule(Atom("p", Seq(V("x"), V("y"))), Seq(Atom("e", Seq(V("x"), V("y")))),
+          fold = Some(Fold("min", 1))),
+        Rule(Atom("p", Seq(V("x"), V("y"))), Seq(Atom("e", Seq(V("x"), V("y")))))))
+        .strata
+    }
+    intercept[IllegalArgumentException] { Fold("sum", 1) }
+  }
+
   test("property: every generated program is stratifiable and strata place q above p on negation") {
     val rnd = new Random(11)
     (1 to 40).foreach { _ =>
