@@ -74,7 +74,8 @@ object SparkEntry {
       LinkageStringOps.all, RatingOps.all, VolatilityOps.all,
       MembershipOps.all, RougeOps.all, HbosOps.all, MrrEvalOps.all,
       VideoOps.all, JsonlSourceOps.all, SsspOps.all, NbFitOps.all,
-      HomogeneityOps.all
+      HomogeneityOps.all,
+      GoodTuringOps.all, ConcentrationOps.all, ZipfFitOps.all, HeapsOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
