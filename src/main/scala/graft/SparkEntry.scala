@@ -75,7 +75,8 @@ object SparkEntry {
       MembershipOps.all, RougeOps.all, HbosOps.all, MrrEvalOps.all,
       VideoOps.all, JsonlSourceOps.all, SsspOps.all, NbFitOps.all,
       HomogeneityOps.all,
-      GoodTuringOps.all, ConcentrationOps.all, ZipfFitOps.all, HeapsOps.all
+      GoodTuringOps.all, ConcentrationOps.all, ZipfFitOps.all, HeapsOps.all,
+      KeynessG2Ops.all, LmJmOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
