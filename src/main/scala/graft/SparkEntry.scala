@@ -76,7 +76,7 @@ object SparkEntry {
       VideoOps.all, JsonlSourceOps.all, SsspOps.all, NbFitOps.all,
       HomogeneityOps.all,
       GoodTuringOps.all, ConcentrationOps.all, ZipfFitOps.all, HeapsOps.all,
-      KeynessG2Ops.all, LmJmOps.all
+      KeynessG2Ops.all, LmJmOps.all, PageHinkleyOps.all, ViterbiOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG
