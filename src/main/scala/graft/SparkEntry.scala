@@ -76,7 +76,8 @@ object SparkEntry {
       VideoOps.all, JsonlSourceOps.all, SsspOps.all, NbFitOps.all,
       HomogeneityOps.all,
       GoodTuringOps.all, ConcentrationOps.all, ZipfFitOps.all, HeapsOps.all,
-      KeynessG2Ops.all, LmJmOps.all, PageHinkleyOps.all, ViterbiOps.all
+      KeynessG2Ops.all, LmJmOps.all, PageHinkleyOps.all, ViterbiOps.all,
+      DgimOps.all, LcsOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** DGIM sliding-window bit counting (Datar-Gionis-Indyk-Motwani 2002):
+  * approximate "how many `click` events in the last W events" in
+  * O(log² W) state — THE textbook sketch for windowed counts a
+  * streaming monitor keeps per key when storing the window is too
+  * expensive. Buckets hold exponentially-growing powers of two, at most
+  * two per size; the estimate is all full buckets plus half the oldest,
+  * and the certificate |est − true| ≤ ⌈oldest/2⌉ (≤50% relative) holds
+  * for ANY stream — so the readout emits certified booleans beside the
+  * exact count, the q544/q490 idiom (the oracle recomputes the exact
+  * side and pins the certificates TRUE).
+  *
+  * Scale shape: the detector state depends only on a bounded stream
+  * tail (it is initialized at position n − 16384, documented), so the
+  * packed fold is CONSTANT-size at any corpus scale; the exact check
+  * and the stream length are distributed aggregates. At cluster scale
+  * this fold is per-key state inside mapGroupsWithState; here it is
+  * one codegen `aggregate` so the oracle can see it.
+  *
+  * Exactness: everything is exact BIGINT arithmetic — no floats in the
+  * estimator at all.
+  */
+object DgimOps {
+
+  private val W    = 2048
+  private val Tail = 16384
+
+  val q567DgimWindow: QueryDef = QueryDef(
+    "q567_dgim_window",
+    (s, dir) => {
+      val ev = EventOps.events(s, dir)
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("bit"))
+        .localCheckpoint() // tail, exact window count and n all read it
+      val n = ev.count()
+      // bounded tail, newest Tail events in stream order
+      val tail = ev.orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(Tail)
+        .orderBy(col("ts_us"), col("event_id"))
+      val trueOnes = ev.orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(W)
+        .agg(sum(col("bit")).as("true_ones"))
+      // the DGIM fold: state = buckets newest-first (size, time), ≤2 per
+      // size after the cascade; time = index within the tail
+      val folded = tail
+        .agg(collect_list(col("bit")).as("bits"))
+        .select(expr(s"""aggregate(
+            bits,
+            named_struct('t', CAST(-1 AS BIGINT),
+                         'bk', CAST(array() AS ARRAY<STRUCT<sz: BIGINT, tm: BIGINT>>)),
+            (acc, bit) -> named_struct(
+              't', acc.t + 1L,
+              'bk', CASE WHEN bit = 0L THEN
+                  filter(acc.bk, b -> b.tm > acc.t + 1L - $W)
+                ELSE
+                  -- prepend the new 1-bucket, then cascade: 12 passes,
+                  -- each merging the two OLDEST of the first size that
+                  -- has three buckets (sizes are ordered newest-first,
+                  -- so equal sizes are adjacent)
+                  aggregate(sequence(1, 12),
+                    concat(array(named_struct('sz', 1L, 'tm', acc.t + 1L)),
+                      filter(acc.bk, b -> b.tm > acc.t + 1L - $W)),
+                    (st, _) -> CASE WHEN size(st) >= 3 AND size(
+                        filter(sequence(0, size(st) - 3),
+                          i -> element_at(st, i + 1).sz
+                            = element_at(st, i + 3).sz)) > 0 THEN
+                        -- first index whose size repeats thrice
+                        concat(
+                          slice(st, 1, element_at(
+                            filter(sequence(0, size(st) - 3),
+                              i -> element_at(st, i + 1).sz
+                                = element_at(st, i + 3).sz), 1) + 1),
+                          array(named_struct(
+                            'sz', element_at(st, element_at(
+                              filter(sequence(0, size(st) - 3),
+                                i -> element_at(st, i + 1).sz
+                                  = element_at(st, i + 3).sz), 1) + 2).sz * 2L,
+                            'tm', element_at(st, element_at(
+                              filter(sequence(0, size(st) - 3),
+                                i -> element_at(st, i + 1).sz
+                                  = element_at(st, i + 3).sz), 1) + 2).tm)),
+                          slice(st, element_at(
+                            filter(sequence(0, size(st) - 3),
+                              i -> element_at(st, i + 1).sz
+                                = element_at(st, i + 3).sz), 1) + 4,
+                            size(st)))
+                      ELSE st END)
+                END)) AS st"""))
+        .select(expr("""CASE WHEN size(st.bk) = 0 THEN 0L
+            WHEN size(st.bk) = 1 THEN element_at(st.bk, 1).sz
+            ELSE aggregate(slice(st.bk, 1, size(st.bk) - 1), 0L,
+                   (a, b) -> a + b.sz)
+              + CAST(element_at(st.bk, size(st.bk)).sz / 2 AS BIGINT)
+            END AS est"""),
+          expr("""CASE WHEN size(st.bk) = 0 THEN 0L
+            ELSE CAST((element_at(st.bk, size(st.bk)).sz + 1) / 2 AS BIGINT)
+            END AS bound"""),
+          // the DGIM state invariant: sizes are powers of two,
+          // non-decreasing newest-first, at most two buckets per size
+          expr("""size(filter(sequence(0, size(st.bk) - 1), i ->
+              (element_at(st.bk, i + 1).sz
+                & (element_at(st.bk, i + 1).sz - 1L)) != 0L
+              OR (i > 0 AND element_at(st.bk, i + 1).sz
+                    < element_at(st.bk, i).sz)
+              OR (i > 1 AND element_at(st.bk, i + 1).sz
+                    = element_at(st.bk, i - 1).sz))) = 0
+            AS invariant_ok"""))
+      import s.implicits._
+      folded.crossJoin(broadcast(trueOnes))
+        .select(lit(n).as("n_stream"), lit(W.toLong).as("w"),
+          col("true_ones"),
+          // unconditional: only the OLDEST bucket can straddle the
+          // window boundary, so |est − true| ≤ ⌈oldest/2⌉ always
+          (abs(col("est") - col("true_ones")) <= col("bound")).as("cert_ok"),
+          col("invariant_ok"))
+    },
+    Some(s"""WITH ordered AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS bit,
+          row_number() OVER (ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_stream,
+        CAST($W AS BIGINT) AS w,
+        (SELECT CAST(SUM(bit) AS BIGINT) FROM ordered WHERE rn <= $W)
+          AS true_ones,
+        TRUE AS cert_ok,
+        TRUE AS invariant_ok"""))
+
+  val all: Seq[QueryDef] = Seq(q567DgimWindow)
+}
