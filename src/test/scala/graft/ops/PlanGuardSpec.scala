@@ -212,6 +212,12 @@ class PlanGuardSpec extends SparkTestBase {
     "q557_krippendorff_alpha"  -> 3,   // 3-row annotator fan-out (q541's fixture) + 1-row census reports
     "q558_markov_entropy_rate" -> 1,   // inherits q496's 1-row grand-total broadcast (the composition idiom)
     "q549_min_k_prob"          -> 1,   // 1-row corpus-total broadcast onto the token census
+    "q562_good_turing"         -> 1,   // 1-row (n_tokens, n1) total onto the ≤10-row fof report
+    "q563_heaps_law"           -> 10,  // 10-row decile-cut dimension onto the vocab first-occurrence frame, + the 1-row fit broadcast
+    "q564_jm_perplexity"       -> 2,   // 2-row λ grid + 1-row model totals onto the held census
+    "q565_viterbi_decode"      -> 1,   // 1-row (n, k) census total onto the |types|-row emission frame
+    "q567_dgim_window"         -> 1,   // 1-row exact window count beside the 1-row folded sketch state
+    "q570_keyness_g2"          -> 1,   // 1-row (na, nb) corpus totals onto the term census
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -422,7 +428,13 @@ class PlanGuardSpec extends SparkTestBase {
     "q548_garch_grid",         // 9-row grid onto the 1-row packed series + 1-row best-ll (the q538 sweep idiom)
     "q557_krippendorff_alpha", // 1-row marginal × 1-row unit census (the q215 idiom)
     "q558_markov_entropy_rate",// rides q496's 1-row grand-total broadcast (the q157-reuses-q79 idiom)
-    "q549_min_k_prob")         // 1-row corpus total onto the token census (the q56 idiom)
+    "q549_min_k_prob",         // 1-row corpus total onto the token census (the q56 idiom)
+    "q562_good_turing",        // 1-row (n_tokens, n1) total onto the ≤10-row fof report (the q56 idiom)
+    "q563_heaps_law",          // 10-row decile cuts onto the vocab first-occurrence frame + 1-row fit (the q213 sweep idiom)
+    "q564_jm_perplexity",      // 2-row λ grid + 1-row model totals onto the held census (the q213 sweep idiom)
+    "q565_viterbi_decode",     // 1-row (n, k) census total onto the emission frame (the q56 idiom)
+    "q567_dgim_window",        // 1-row exact window count beside the 1-row sketch state (the q215 idiom)
+    "q570_keyness_g2")         // 1-row (na, nb) totals onto the term census (the q56 idiom)
   // q540_err_metric's 4-term dimension joins by EQUI key (term) — a plain
   // broadcast hash join, no exemption needed.
   // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
