@@ -28,33 +28,19 @@ object DgimOps {
   private val W    = 2048
   private val Tail = 16384
 
-  val q567DgimWindow: QueryDef = QueryDef(
-    "q567_dgim_window",
-    (s, dir) => {
-      val ev = EventOps.events(s, dir)
-        .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("bit"))
-        .localCheckpoint() // tail, exact window count and n all read it
-      val n = ev.count()
-      // bounded tail, newest Tail events in stream order
-      val tail = ev.orderBy(col("ts_us").desc, col("event_id").desc)
-        .limit(Tail)
-        .orderBy(col("ts_us"), col("event_id"))
-      val trueOnes = ev.orderBy(col("ts_us").desc, col("event_id").desc)
-        .limit(W)
-        .agg(sum(col("bit")).as("true_ones"))
-      // the DGIM fold: state = buckets newest-first (size, time), ≤2 per
-      // size after the cascade; time = index within the tail
-      val folded = tail
-        .agg(collect_list(col("bit")).as("bits"))
-        .select(expr(s"""aggregate(
+  /** The DGIM transition as ONE SQL aggregate over a packed bit-array
+    * column `bits` (state = (t, buckets newest-first)) — shared
+    * VERBATIM by q567 and DgimStreamSpec, so the online store
+    * (streaming/DgimStream) is certified against the exact fold it
+    * twins. */
+  private[graft] def dgimFoldSql(w: Int): String = s"""aggregate(
             bits,
             named_struct('t', CAST(-1 AS BIGINT),
                          'bk', CAST(array() AS ARRAY<STRUCT<sz: BIGINT, tm: BIGINT>>)),
             (acc, bit) -> named_struct(
               't', acc.t + 1L,
               'bk', CASE WHEN bit = 0L THEN
-                  filter(acc.bk, b -> b.tm > acc.t + 1L - $W)
+                  filter(acc.bk, b -> b.tm > acc.t + 1L - $w)
                 ELSE
                   -- prepend the new 1-bucket, then cascade: 12 passes,
                   -- each merging the two OLDEST of the first size that
@@ -62,7 +48,7 @@ object DgimOps {
                   -- so equal sizes are adjacent)
                   aggregate(sequence(1, 12),
                     concat(array(named_struct('sz', 1L, 'tm', acc.t + 1L)),
-                      filter(acc.bk, b -> b.tm > acc.t + 1L - $W)),
+                      filter(acc.bk, b -> b.tm > acc.t + 1L - $w)),
                     (st, _) -> CASE WHEN size(st) >= 3 AND size(
                         filter(sequence(0, size(st) - 3),
                           i -> element_at(st, i + 1).sz
@@ -88,7 +74,28 @@ object DgimOps {
                                 = element_at(st, i + 3).sz), 1) + 4,
                             size(st)))
                       ELSE st END)
-                END)) AS st"""))
+                END))"""
+
+  val q567DgimWindow: QueryDef = QueryDef(
+    "q567_dgim_window",
+    (s, dir) => {
+      val ev = EventOps.events(s, dir)
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("bit"))
+        .localCheckpoint() // tail, exact window count and n all read it
+      val n = ev.count()
+      // bounded tail, newest Tail events in stream order
+      val tail = ev.orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(Tail)
+        .orderBy(col("ts_us"), col("event_id"))
+      val trueOnes = ev.orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(W)
+        .agg(sum(col("bit")).as("true_ones"))
+      // the DGIM fold: state = buckets newest-first (size, time), ≤2 per
+      // size after the cascade; time = index within the tail
+      val folded = tail
+        .agg(collect_list(col("bit")).as("bits"))
+        .select(expr(s"${dgimFoldSql(W)} AS st"))
         .select(expr("""CASE WHEN size(st.bk) = 0 THEN 0L
             WHEN size(st.bk) = 1 THEN element_at(st.bk, 1).sz
             ELSE aggregate(slice(st.bk, 1, size(st.bk) - 1), 0L,
