@@ -667,10 +667,30 @@ object Datalog {
               // layout: folded heads pre-reduce per key (one min/max per
               // key per round reaches the merge) and the groupBy's own
               // exchange IS the hash(keys, n) layout; set heads lay out
-              // by the whole tuple
+              // by the whole tuple. Set-head identity is RAW UnsafeRow
+              // bytes, so floating-point columns are canonicalized first
+              // (-0.0 → +0.0, any NaN → the canonical NaN) — SQL
+              // .distinct() equates these and the byte walk must agree,
+              // and the repartition hash must co-locate them. Fold heads
+              // need no projection: reduceFold's groupBy normalizes its
+              // grouping keys (NormalizeFloatingNumbers) and the value
+              // column is compared numerically, not byte-wise.
               val laidOut = foldSpec.get(k) match {
                 case Some(f) => reduceFold(cand, f)
-                case None    => cand.repartition(n, cols.map(col): _*)
+                case None =>
+                  import org.apache.spark.sql.types.FloatType
+                  val canon = cand.schema.fields.foldLeft(cand) { (df, fld) =>
+                    fld.dataType match {
+                      case DoubleType => df.withColumn(fld.name,
+                        when(isnan(col(fld.name)), lit(Double.NaN))
+                          .otherwise(col(fld.name) + lit(0.0d)))
+                      case FloatType => df.withColumn(fld.name,
+                        when(isnan(col(fld.name)), lit(Float.NaN))
+                          .otherwise(col(fld.name) + lit(0.0f)))
+                      case _ => df
+                    }
+                  }
+                  canon.repartition(n, cols.map(col): _*)
               }
               val candRdd = {
                 val raw = laidOut.queryExecution.toRdd
@@ -733,18 +753,32 @@ object Datalog {
                 }
               }, preservesPartitioning = true))
             }
+            // Prior pairs replaced mid-round are dropped only once EVERY
+            // head of the round has materialized: sibling heads' round
+            // plans were built against the round-start full/delta frames,
+            // which bridge over the OLD pair blocks — and localCheckpoint
+            // already cut their lineage, so an eager unpersist loses the
+            // blocks unrecoverably (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on
+            // any same-stratum dependent or mutually recursive head).
+            val staleDrops =
+              scala.collection.mutable.ArrayBuffer.empty[RDD[Pair]]
+            def dropStale(): Unit = {
+              staleDrops.foreach(_.unpersist(false))
+              staleDrops.clear()
+            }
             def absorbHead(k: String, fs: Seq[DataFrame]): Long = {
               val merged = fs.reduceLeft(_.unionByName(_))
               val prev = sol.get(k)
               val s1 = mergeInto(merged, prev, k)
               val nNew = novelCount(s1)
               if (nNew == 0) {
-                s1.pair.unpersist(false)
+                s1.pair.unpersist(false) // fresh this call — nothing refs it
                 delta = delta.removed(k)
               } else {
-                // s1 is materialized and lineage-cut: the prior pair's
-                // blocks are no longer reachable — drop them now
-                prev.foreach(_.pair.unpersist(false))
+                // s1 is materialized and lineage-cut; the prior pair is
+                // dead for FUTURE rounds but this round's sibling plans
+                // may still read it — defer to the round boundary
+                prev.foreach(p => staleDrops += p.pair)
                 sol = sol.updated(k, s1)
                 full = full.updated(k, fullFrame(k, s1))
                 delta = delta.updated(k, deltaFrame(k, s1))
@@ -753,6 +787,7 @@ object Datalog {
             }
 
             seeds.foreach { case (k, fs) => absorbHead(k, fs) }
+            dropStale()
             var changed = delta.nonEmpty
             val trace = sys.env.contains("GRAFT_DL_TRACE")
             var round = 0
@@ -787,6 +822,7 @@ object Datalog {
                   case None     => delta = delta.removed(k)
                 }
               }
+              dropStale() // every head materialized — old pairs now dead
               if (trace) System.err.println(
                 f"[datalog] round $round%2d: delta=$totalNew " +
                   f"${(System.nanoTime() - t0) / 1e9}%.2f s")

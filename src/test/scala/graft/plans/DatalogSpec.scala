@@ -156,4 +156,68 @@ class DatalogSpec extends SparkTestBase {
     assert(other.queryExecution.executedPlan.toString.contains("Exchange"),
       "single-column agg must still exchange — the no-exchange assert is live")
   }
+
+  test("same-stratum dependent head survives multi-round recursion " +
+       "(sibling plans must outlive a head's pair swap)") {
+    // q reads p's DELTA each round while p itself keeps deriving new
+    // facts: absorbing p mid-round must NOT drop the pair blocks q's
+    // round-start plan still bridges over (the r14 absorbHead regression:
+    // unpersist-before-siblings-materialize → checkpoint block lost).
+    import spark.implicits._
+    val edges = (1 until 10).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("c", "p")
+    val program = Program(Seq(
+      Rule(Atom("p", Seq(V("x"), V("a"))),
+        Seq(Atom("edge", Seq(V("x"), V("a"))))),
+      Rule(Atom("p", Seq(V("x"), V("a"))),
+        Seq(Atom("p", Seq(V("x"), V("b"))),
+          Atom("edge", Seq(V("b"), V("a"))))),
+      Rule(Atom("q", Seq(V("x"), V("a"))),
+        Seq(Atom("p", Seq(V("x"), V("a")))))))
+    val q = program.run(Map("edge" -> edges), "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      x <- 1 to 10; a <- 1 to 10 if x < a
+    } yield (x.toLong, a.toLong)).toSet
+    assert(q == expected, "q mirrors p's full closure")
+  }
+
+  test("set-semantics arena equates -0.0 with +0.0 (SQL distinct parity)") {
+    // the arena dedups on raw UnsafeRow bytes; -0.0 and +0.0 differ
+    // bit-wise but SQL .distinct() equates them — the candidate
+    // projection must canonicalize before the byte walk
+    import spark.implicits._
+    val pos = Seq((1L, 0.0d)).toDF("x", "d")
+    val neg = Seq((1L, -0.0d)).toDF("x", "d")
+    val program = Program(Seq(
+      Rule(Atom("p", Seq(V("x"), V("d"))), Seq(Atom("a", Seq(V("x"), V("d"))))),
+      Rule(Atom("p", Seq(V("x"), V("d"))), Seq(Atom("b", Seq(V("x"), V("d"))))),
+      Rule(Atom("p", Seq(V("x"), V("d"))), Seq(Atom("p", Seq(V("x"), V("d")))))))
+    val rows = program.run(Map("a" -> pos, "b" -> neg), "p").collect()
+    assert(rows.length == 1, "one fact: -0.0 and +0.0 are the same tuple")
+    assert(java.lang.Double.doubleToRawLongBits(rows(0).getDouble(1)) == 0L,
+      "the surviving value is canonical +0.0")
+  }
+
+  test("mutually recursive heads converge (pair swap of one head " +
+       "must not starve the other's round plan)") {
+    // even/odd distance from node 1 on a 12-chain: p and q feed each
+    // other every round, so each round absorbs BOTH heads — the
+    // order-dependent variant of the sibling-plan lifetime hazard.
+    import spark.implicits._
+    val edges = (1 until 12).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("c", "p")
+    val start = Seq(Tuple1(1L)).toDF("s")
+    val program = Program(Seq(
+      Rule(Atom("p", Seq(V("x"))), Seq(Atom("start", Seq(V("x"))))),
+      Rule(Atom("q", Seq(V("y"))),
+        Seq(Atom("p", Seq(V("x"))), Atom("edge", Seq(V("x"), V("y"))))),
+      Rule(Atom("p", Seq(V("y"))),
+        Seq(Atom("q", Seq(V("x"))), Atom("edge", Seq(V("x"), V("y")))))))
+    val edb = Map("edge" -> edges, "start" -> start)
+    val even = program.run(edb, "p").collect().map(_.getLong(0)).toSet
+    val odd = program.run(edb, "q").collect().map(_.getLong(0)).toSet
+    assert(even == (1L to 12L).filter(_ % 2 == 1).toSet, "odd nodes = even distance")
+    assert(odd == (1L to 12L).filter(_ % 2 == 0).toSet, "even nodes = odd distance")
+  }
 }
