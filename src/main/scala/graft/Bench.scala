@@ -158,43 +158,70 @@ object Bench {
     require(times.size == all.size,
       s"merged ${times.size} timings for ${all.size} queries")
 
-    // fresh-JVM re-pin pass: every survivor above 1.3× of its committed
-    // floor gets a dedicated fresh JVM; the artifact carries BOTH numbers
-    // and reports min(suite, fresh) — no >1.3× reading can land without a
-    // fresh-JVM number beside it (threshold 1.5→1.3 per r9 verdict #1:
-    // the 1.3–1.5× drift band was exactly the unexonerated cluster)
+    // classify every >1.3×-of-floor survivor up front; what happens to
+    // the breaches depends on the repin knob below
     val prior = loadPrior()
     val freshRechecks = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
     val subsecExempt = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
-    val finalTimes = times.toSeq.map { case (name, t) =>
-      val overRatio = prior.get(name).exists(p => t > RepinRatio * p) &&
-        !failed.contains(name)
-      val breach = overRatio && t > RepinAbsFloorSec
-      if (overRatio && !breach) subsecExempt += ((name, t, prior(name)))
-      if (!breach) name -> t
-      else {
-        val repin = parseChunk(runChild(Seq(name), s"repin_$name"), s"repin_$name")
-        val fresh = repin.times.collectFirst { case (`name`, v) => v }.getOrElse(t)
-        System.err.println(
-          f"[bench] $name fresh-JVM re-pin: suite=$t%.2f s fresh=$fresh%.2f s (floor=${prior(name)}%.2f s)")
-        freshRechecks += ((name, t, fresh))
-        // keep the on-disk artifact current through the repin pass too: a
-        // kill here still leaves all queries covered, with this repin folded
-        times(name) = math.min(t, fresh)
-        flushArtifact(partialJson(nChunks))
-        name -> math.min(t, fresh)
+    val pendingRepins = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
+    times.foreach { case (name, t) =>
+      if (prior.get(name).exists(p => t > RepinRatio * p) &&
+          !failed.contains(name)) {
+        if (t > RepinAbsFloorSec) pendingRepins += ((name, t, prior(name)))
+        else subsecExempt += ((name, t, prior(name)))
       }
     }
 
-    val qs = finalTimes.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val freshJson = freshRechecks.map { case (n, t, f) =>
-      s"""{"name":"$n","suite":$t,"fresh":$f}"""
-    }.mkString("[", ",", "]")
-    val exemptJson = subsecExempt.map { case (n, t, p) =>
-      s"""{"name":"$n","suite":$t,"floor":$p}"""
-    }.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${finalTimes.map(_._2).sum},"unit":"sec","partial":false,"queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"isolated_rechecks":[${rechecks.mkString(",")}],"fresh_jvm_rechecks":$freshJson,"subsecond_exempt":$exemptJson,"repin_ratio":$RepinRatio,"repin_abs_floor_sec":$RepinAbsFloorSec,"chunks":$nChunks,"runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
+    def finalJson(): String = {
+      val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val freshJson = freshRechecks.map { case (n, t, f) =>
+        s"""{"name":"$n","suite":$t,"fresh":$f}"""
+      }.mkString("[", ",", "]")
+      val exemptJson = subsecExempt.map { case (n, t, p) =>
+        s"""{"name":"$n","suite":$t,"floor":$p}"""
+      }.mkString("[", ",", "]")
+      val pendingJson = pendingRepins.map { case (n, t, p) =>
+        s"""{"name":"$n","suite":$t,"floor":$p}"""
+      }.mkString("[", ",", "]")
+      s"""{"metric":"total","value":${times.values.sum},"unit":"sec","partial":false,"queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"isolated_rechecks":[${rechecks.mkString(",")}],"fresh_jvm_rechecks":$freshJson,"repin_pending":$pendingJson,"subsecond_exempt":$exemptJson,"repin_ratio":$RepinRatio,"repin_abs_floor_sec":$RepinAbsFloorSec,"chunks":$nChunks,"runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
+    }
+    // the suite is COMPLETE here — flush partial:false NOW, before any
+    // floor-hygiene pass. r14: the driver's 60-min kill landed 8 s after
+    // the last chunk flushed, during the repin JVM's startup, and the
+    // complete 571-query artifact still read partial:true. A kill from
+    // this point on reads as the complete run it is.
+    flushArtifact(finalJson())
+
+    // fresh-JVM re-pin pass — FLOOR HYGIENE, not round evidence: every
+    // breach above gets a dedicated fresh JVM and the artifact carries
+    // both numbers, min reported (threshold 1.5→1.3 per r9 verdict #1).
+    // Gated behind SPARK_GRAFT_BENCH_REPIN, which the round driver never
+    // sets: the ~6+ min of repin JVMs is what blew the driver's wall in
+    // r13/r14. Local closing-bench runs set it to 1 (see
+    // tools/DRIVER_NOTES.md); with it unset the breaches are still
+    // listed verbatim under repin_pending so nothing lands silently.
+    val repinEnabled = sys.env.get("SPARK_GRAFT_BENCH_REPIN")
+      .exists(v => v == "1" || v == "true")
+    if (!repinEnabled && pendingRepins.nonEmpty)
+      System.err.println(
+        s"[bench] repin pass skipped (SPARK_GRAFT_BENCH_REPIN unset); " +
+          s"${pendingRepins.size} >$RepinRatio×-floor reading(s) listed under repin_pending")
+    if (repinEnabled) {
+      pendingRepins.toList.foreach { case (name, t, floor) =>
+        val repin = parseChunk(runChild(Seq(name), s"repin_$name"), s"repin_$name")
+        val fresh = repin.times.collectFirst { case (`name`, v) => v }.getOrElse(t)
+        System.err.println(
+          f"[bench] $name fresh-JVM re-pin: suite=$t%.2f s fresh=$fresh%.2f s (floor=$floor%.2f s)")
+        freshRechecks += ((name, t, fresh))
+        pendingRepins -= ((name, t, floor))
+        // keep the on-disk artifact current through the repin pass: a
+        // kill here still covers all queries, with this repin folded
+        times(name) = math.min(t, fresh)
+        flushArtifact(finalJson())
+      }
+    }
+    val json = finalJson()
     println(json)
     flushArtifact(json)
   }
