@@ -61,9 +61,9 @@ object CohortStatOps {
             log(col("k22").cast("double") * col("n") /
               ((col("n") - col("row1")).cast("double") * (col("n") - col("col2")))))
             .otherwise(0.0)), 6))
-        .withColumn("rk", row_number().over(
+        .orderBy(col("g2").desc, col("w1"), col("w2")).limit(20)
+        .withColumn("rk", row_number().over( // 20-row slice, not the pair frame (r15)
           Window.orderBy(col("g2").desc, col("w1"), col("w2"))))
-        .filter(col("rk") <= 20)
         .select(col("rk"), col("w1"), col("w2"), col("k11"), col("g2"))
         .orderBy(col("rk"))
     },

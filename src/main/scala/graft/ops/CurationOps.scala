@@ -271,24 +271,30 @@ object CurationOps {
 
   /** Vocabulary coverage curve: the share of total token mass covered by
     * the top-k most frequent tokens (k = 5/10/25) — the corpus
-    * statistic behind tokenizer-vocabulary sizing. One token hash agg, a
-    * rank + running-sum window over the (tiny) vocabulary frame, three
-    * probe rows out. Integer counts everywhere; the single division is
-    * identical on both engines. */
+    * statistic behind tokenizer-vocabulary sizing. One token hash agg;
+    * the rank/running-sum window runs over a 25-row `TakeOrdered` slice
+    * (cum at rank ≤ 25 only reads rows ranked ≤ 25), NOT the
+    * vocabulary frame — the vocabulary grows with the corpus, so it
+    * never passes through a single-partition window (r15); the token
+    * total is a plain aggregate broadcast onto the three probe rows.
+    * Integer counts everywhere; the single division is identical on
+    * both engines. */
   val q92VocabCoverage: QueryDef = QueryDef(
     "q92_vocab_coverage",
     (s, dir) => {
       val counts = Tables(s, dir).documents
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // top-k slice and the total share one pass
+      val total = counts.agg(sum(col("n")).as("total"))
+      val top = counts.orderBy(col("n").desc, col("token").asc).limit(25)
       val w = Window.orderBy(col("n").desc, col("token").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wr = Window.orderBy(col("n").desc, col("token").asc)
-      counts
-        .withColumn("rank", row_number().over(wr).cast("long"))
-        .withColumn("cum", sum(col("n")).over(w))
-        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      top
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .filter(col("rank").isin(5L, 10L, 25L))
+        .crossJoin(broadcast(total))
         .select(col("rank").as("top_k"), col("cum").as("cum_tokens"),
           col("total").as("total_tokens"),
           round(col("cum").cast("double") / col("total"), 6).as("coverage"))

@@ -152,8 +152,13 @@ object DatalogOps {
     * Scale shape: identical laws to q555 — rounds ∝ DAG depth, per-round
     * shuffle ∝ improved keys (the min-reduce), the standing map is never
     * re-shuffled (zipPartitions merge at fixed width), report is the
-    * distance histogram. The broadcast hint on the hierarchy-sized edge
-    * EDB keeps each round's frontier join shuffle-free (q501's note). */
+    * distance histogram. The EDB carries NO broadcast hint (r15): the
+    * engine knows each round's delta bytes exactly and hints the DELTA
+    * side when it fits the broadcast threshold, so a thin frontier joins
+    * as a broadcast probe with the edges scanned in place — hinting the
+    * hierarchy-sized edge side here instead forced a ~round-count ×
+    * |edges| re-broadcast (the measured r14 3× generality tax vs q555,
+    * whose AQE plan broadcast its small side all along). */
   val q561DatalogSssp: QueryDef = QueryDef(
     "q561_datalog_sssp",
     (s, dir) => {
@@ -176,7 +181,7 @@ object DatalogOps {
             Atom("edge", Seq(V("x"), V("y"), V("w")))),
           lets = Seq(Let("nd", "d + w")),
           fold = Some(Fold("min", 1)))))
-      program.run(Map("edge" -> broadcast(edges), "src" -> src), "dist")
+      program.run(Map("edge" -> edges, "src" -> src), "dist")
         .groupBy(col("_p1").as("d"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("_p0")).as("node_sum"))
         .orderBy(col("d"))

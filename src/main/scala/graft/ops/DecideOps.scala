@@ -233,9 +233,9 @@ object DecideOps {
       val decS = DecimalType(28, 14)
       val top = Tables(s, dir).orders
         .select(col("o_totalprice").cast("double").as("x"))
+        .orderBy(col("x").desc).limit(201) // distributed TakeOrdered (r15)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("x").desc)).cast("long"))
-        .filter(col("rk") <= 201)
         .localCheckpoint() // three sweep arms read the same prefix
       val ks = s.range(3).select(
         expr("element_at(array(50L, 100L, 200L), int(id) + 1)").as("k"))

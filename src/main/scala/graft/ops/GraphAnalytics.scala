@@ -208,9 +208,9 @@ object GraphAnalytics {
         .withColumn("rrf", round(
           coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60.0) + col("r_ttr")), lit(0.0)), 9))
-        .withColumn("rank", row_number().over(
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(50)
+        .withColumn("rank", row_number().over( // 50-row slice (r15)
           Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
-        .filter(col("rank") <= 50)
         .select(col("doc_id"), col("rrf"), col("rank"))
     },
     Some("""WITH toks AS (

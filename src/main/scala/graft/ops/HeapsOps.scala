@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.expressions.Window
 
 /** Heaps' law fit: vocabulary growth V(n) ≈ K·n^β measured at ten
   * corpus-prefix checkpoints (docs ordered by doc_id), with the (β, K)
@@ -12,11 +11,12 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale shape: one token pass produces BOTH per-type first-occurrence
   * (min doc id) and per-doc token counts; the cut dimension is 10 rows
-  * broadcast over the vocabulary-sized first-occurrence frame. The one
-  * non-distributed piece is the prefix-sum spine (row_number + running
-  * token sum over the |docs|-row doc frame — docs, not tokens); at
-  * cluster scale that spine becomes a two-pass range-partitioned
-  * prefix sum, the corpus-sized token pass is unaffected.
+  * broadcast over the vocabulary-sized first-occurrence frame. The
+  * prefix-sum spine (global rank + running token sum over the
+  * |docs|-row doc frame) runs through [[Spine.prefixSpine]] — the
+  * two-pass range-partitioned scan — so NO growing frame passes
+  * through a single-partition window (r15; the r14 shape's one
+  * documented residual).
   *
   * Exactness: V(n) and n are exact BIGINTs; the OLS runs on ten
   * round(·,12) log points summed as DECIMAL(28,12); β/K round 6.
@@ -33,11 +33,11 @@ object HeapsOps {
         .localCheckpoint() // first-occurrence and per-doc counts share it
       val docTok = toks.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"))
-      val w = Window.orderBy(col("doc_id"))
-      val docPos = docTok
-        .withColumn("pos", row_number().over(w))
-        .withColumn("cum_tok", sum(col("n_tok")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // doc-frame prefix spine: |docs| grows with the corpus, so the
+      // rank + running sum run through the two-pass range-partitioned
+      // Spine (no single-partition window — r15)
+      val docPos = Spine.prefixSpine(docTok, Seq(col("doc_id")), Seq("n_tok"))
+        .withColumnRenamed("cum_n_tok", "cum_tok")
       val nDocs = docTok.count()
       val firstDoc = toks.groupBy(col("tok"))
         .agg(min(col("doc_id")).as("first_doc"))

@@ -162,7 +162,8 @@ object IrOps {
       val scores = parts.groupBy(col("doc_id"))
         .agg(round(sum(col("part")), 6).as("bm25"))
       val theta = scores
-        .withColumn("rk", row_number().over(
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+        .withColumn("rk", row_number().over( // 10-row slice (r15)
           Window.orderBy(col("bm25").desc, col("doc_id").asc)))
         .filter(col("rk") === 10)
         .select(col("bm25").as("theta"))
@@ -283,15 +284,12 @@ object IrOps {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .localCheckpoint() // feeds seed retrieval, mining, and df stats
       val top10 = bm25(s, dir, terms3)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
-        .filter(col("rk") <= 10).select(col("doc_id"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10) // TakeOrdered (r15)
+        .select(col("doc_id"))
       val mined = toks.join(broadcast(top10), Seq("doc_id"))
         .filter(!col("token").isin(terms3: _*))
         .groupBy(col("token")).agg(count(lit(1)).as("mass"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("mass").desc, col("token").asc)).cast("long"))
-        .filter(col("rk") <= 3)
+        .orderBy(col("mass").desc, col("token").asc).limit(3) // TakeOrdered (r15)
         .select(col("token"), lit("expanded").as("provenance"))
       val orig = broadcast(Tables(s, dir).region.limit(1)
         .select(explode(array(terms3.map(lit): _*)).as("token"))

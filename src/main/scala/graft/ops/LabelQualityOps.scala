@@ -154,10 +154,11 @@ object LabelQualityOps {
           round(col("lrd"), 9).as("lrd"),
           round(col("sum_lrd_j").cast("double") /
             (col("n_k") * col("lrd")), 6).as("lof"))
+      // top-20 via distributed TakeOrdered, not a corpus-frame window (r15)
       lof
+        .orderBy(col("lof").desc, col("vec_id")).limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("lof").desc, col("vec_id"))))
-        .filter(col("rk") <= 20)
         .select(col("vec_id"), col("label"), col("n_k"), col("lrd"), col("lof"))
         .orderBy(col("vec_id"))
     },

@@ -187,8 +187,12 @@ object LayoutAdvisorOps {
       val loEpoch = 820454400000000L  // 1996-01-01 UTC, µs
       val hiEpoch = 828316800000000L  // 1996-04-01 UTC, µs (exclusive)
       val frames = layouts.map { case (name, key) =>
-        val zones = li
-          .withColumn("bucket", ntile(64).over(Window.orderBy(key: _*)))
+        // 64-way bucket assignment over the LINEITEM-sized frame via
+        // the range-partitioned spine + exact ntile formula — the r14
+        // shape pushed the whole fact table through one window task (r15)
+        val zones = Spine.prefixSpine(li, key, Nil, totalCol = Some("n_all"))
+          .withColumn("bucket",
+            Spine.ntileFromRank(col("pos"), col("n_all"), 64).cast("int"))
           .groupBy(col("bucket"))
           .agg(min(col("ship_us")).as("ship_lo"), max(col("ship_us")).as("ship_hi"),
             min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),

@@ -83,18 +83,22 @@ object ScoringOps {
     * fits slope ≈ −1; templated/boilerplate corpora deviate hard). The
     * normal-equation form keeps the arithmetic identical on both engines
     * (Spark's regr_slope and DuckDB's may disagree in the last ulp; the
-    * explicit sums cannot). Shape: one token hash agg, a window rank over
-    * the tiny vocabulary frame, a 100-row aggregate — one corpus pass. */
+    * explicit sums cannot). Shape: one token hash agg, a distributed
+    * top-100 TakeOrdered slice (the rank window runs over those 100
+    * rows, never the corpus-growing vocabulary — r15), a 100-row
+    * aggregate — one corpus pass. */
   val q95ZipfSlope: QueryDef = QueryDef(
     "q95_zipf_slope",
     (s, dir) => {
       val counts = Tables(s, dir).documents
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      // top-100 slice via distributed TakeOrdered; the rank window then
+      // runs over 100 rows, never the corpus-growing vocabulary (r15)
       val w = Window.orderBy(col("n").desc, col("token").asc)
       counts
+        .orderBy(col("n").desc, col("token").asc).limit(100)
         .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 100)
         .select(log(col("rank").cast("double")).as("x"),
                 log(col("n").cast("double")).as("y"))
         .agg(count(lit(1)).as("n_terms"),

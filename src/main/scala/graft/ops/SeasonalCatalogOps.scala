@@ -132,9 +132,12 @@ object SeasonalCatalogOps {
             - col("mu") * col("mu"))))
         .withColumn("cv", round(col("sd") / col("mu"), 9))
         .localCheckpoint() // decile window + report
-      val dec = perPart
-        .withColumn("decile", ntile(10).over(Window.orderBy(col("cv"),
-          col("pk"))).cast("long"))
+      // part-frame deciles via the range-partitioned spine + exact
+      // ntile formula, not a single-partition window (r15)
+      val dec = Spine.prefixSpine(perPart, Seq(col("cv"), col("pk")), Nil,
+          totalCol = Some("n_all"))
+        .withColumn("decile",
+          Spine.ntileFromRank(col("pos"), col("n_all"), 10))
       dec.groupBy(col("decile"))
         .agg(count(lit(1)).as("n_parts"),
           round(min(col("cv")), 6).as("cv_min"),

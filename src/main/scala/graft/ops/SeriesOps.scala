@@ -66,9 +66,11 @@ object SeriesOps {
       val r0 = nodes.crossJoin(nV)
         .select(col("token"), (lit(1.0) / col("n_v")).as("r"))
       val r3 = (1 to 3).foldLeft(r0)((r, _) => step(r))
-      r3.withColumn("rk", row_number().over(
+      // top-10 via distributed TakeOrdered; the rank window then runs
+      // over 10 rows, never the corpus-growing token frame (r15)
+      r3.orderBy(col("r").desc, col("token").asc).limit(10)
+        .withColumn("rk", row_number().over(
           Window.orderBy(col("r").desc, col("token").asc)).cast("long"))
-        .filter(col("rk") <= 10)
         .select(col("rk"), col("token"), round(col("r"), 6).as("score"))
         .orderBy(col("rk"))
     },

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed prefix-sum / global-rank spine — the two-pass
+  * range-partitioned replacement for `Window.orderBy(...)` with no
+  * partition clause over a frame that GROWS with the corpus (docs,
+  * vocabulary): a global window plans `Exchange SinglePartition`, which
+  * serializes the whole frame through one task and dies at cluster
+  * scale; the spine keeps the frame distributed end to end.
+  *
+  * Pass structure (the classic parallel scan, at DataFrame altitude):
+  *  1. `repartitionByRange(ord)` + per-partition sort, then ONE
+  *     localCheckpoint — the sampled range boundaries must be pinned,
+  *     because the totals pass and the scan pass must see the SAME
+  *     layout (repartitionByRange resamples per execution otherwise).
+  *  2. Totals pass: per partition, (row count, per-column sums) — a
+  *     #partitions-row result to the driver (model-sized by
+  *     construction: one row per partition, NOT per data row).
+  *  3. Exclusive offsets are computed on the driver and broadcast; the
+  *     scan pass streams each partition once, emitting the global
+  *     1-based rank and running sums seeded at the partition offset.
+  *
+  * Contracts: `ord` must be a TOTAL order for deterministic ranks
+  * (equal keys land in one partition, but their relative rank follows
+  * the partition sort, same caveat as `row_number`); sum columns are
+  * BIGINT-only and null entries add 0 (SQL running-sum parity holds
+  * whenever the column is non-null, the only shape the callers use).
+  */
+object Spine {
+
+  /** Append a global rank column (`rankCol`, 1-based BIGINT, ordered by
+    * `ord`) and one running-sum column `cum_<c>` per entry of `sumCols`
+    * (inclusive of the current row) to `df`, with no single-partition
+    * exchange. `width` defaults to the session's shuffle parallelism.
+    * `totalCol`, if set, adds the frame's total row count as a constant
+    * column — free, it falls out of the totals pass (the `n` that
+    * [[ntileFromRank]] needs, without a second action or crossJoin). */
+  def prefixSpine(df: DataFrame, ord: Seq[Column], sumCols: Seq[String],
+                  rankCol: String = "pos", width: Int = 0,
+                  totalCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1,
+      if (width > 0) width
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val parted = df.repartitionByRange(n, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .localCheckpoint() // pin the sampled range boundaries across passes
+    val schema = parted.schema
+    val sumIdx = sumCols.map(schema.fieldIndex).toArray
+    sumIdx.foreach { i =>
+      require(schema(i).dataType == LongType,
+        s"prefixSpine sums are BIGINT-only (${schema(i).name}: ${schema(i).dataType})")
+    }
+    val nSums = sumIdx.length
+    val partStats = parted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var c = 0L
+      val s = new Array[Long](nSums)
+      it.foreach { r =>
+        c += 1
+        var j = 0
+        while (j < nSums) {
+          if (!r.isNullAt(sumIdx(j))) s(j) += r.getLong(sumIdx(j)); j += 1
+        }
+      }
+      Iterator((i, c, s))
+    }.collect().sortBy(_._1)
+    val rankOff = new Array[Long](n)
+    val sumOff = Array.ofDim[Long](n, nSums)
+    var runRank = 0L
+    val runSum = new Array[Long](nSums)
+    partStats.foreach { case (i, c, s) =>
+      rankOff(i) = runRank
+      System.arraycopy(runSum, 0, sumOff(i), 0, nSums)
+      runRank += c
+      var j = 0
+      while (j < nSums) { runSum(j) += s(j); j += 1 }
+    }
+    val bcOff = spark.sparkContext.broadcast((rankOff, sumOff))
+    val outSchema = StructType(schema.fields ++
+      (StructField(rankCol, LongType, nullable = false) +:
+        sumCols.map(c => StructField(s"cum_$c", LongType, nullable = false))))
+    val out = parted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val (ro, so) = bcOff.value
+      var rank = ro(i)
+      val run = so(i).clone()
+      it.map { r =>
+        rank += 1
+        var j = 0
+        while (j < nSums) {
+          if (!r.isNullAt(sumIdx(j))) run(j) += r.getLong(sumIdx(j)); j += 1
+        }
+        Row.fromSeq(r.toSeq ++ (rank +: run.toSeq))
+      }
+    }
+    val base = spark.createDataFrame(out, outSchema)
+    totalCol match {
+      case Some(c) =>
+        import org.apache.spark.sql.functions.lit
+        base.withColumn(c, lit(runRank))
+      case None => base
+    }
+  }
+
+  /** Exact ANSI `ntile(k)` from a spine rank: with n = qk + r, the
+    * first r buckets take q+1 rows, the rest q — so ntile over a
+    * corpus-growing frame becomes [[prefixSpine]] + this pure
+    * expression instead of a single-partition window. `rank` is the
+    * 1-based global rank, `n` the frame's row count (both BIGINT).
+    *
+    * Exactness of the double round-trips: q = (n − n%k)/k divides
+    * exactly, so the correctly-rounded double IS the integer; the two
+    * bucket quotients are ≤ k+1 with inter-integer gaps ≥ 1/(q+1) —
+    * ten orders above double rounding error at any realistic n. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val kL = lit(k.toLong)
+    val q = ((n - n % kL) / kL).cast("long")
+    val r = n % kL
+    val cut = r * (q + lit(1L))
+    when(rank <= cut, ((rank + q) / (q + lit(1L))).cast("long"))
+      .otherwise(r + (((rank - cut) + q - lit(1L)) / q).cast("long"))
+  }
+}

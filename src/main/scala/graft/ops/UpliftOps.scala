@@ -40,9 +40,14 @@ object UpliftOps {
             .as("treated"))
         .join(conv, Seq("c_custkey"), "left")
         .na.fill(0L, Seq("converted"))
-      val decd = scored.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("bal").desc, col("c_custkey")))
-          .cast("long"))
+      // decile assignment over the customer-growing frame via the
+      // range-partitioned spine + exact ntile formula, not a
+      // single-partition window (r15)
+      val decd = Spine.prefixSpine(scored,
+          Seq(col("bal").desc, col("c_custkey")), Nil,
+          totalCol = Some("n_all"))
+        .withColumn("decile",
+          Spine.ntileFromRank(col("pos"), col("n_all"), 10))
       decd.groupBy(col("decile"))
         .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_t"),
           sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),

@@ -75,12 +75,16 @@ object ValuationOps {
         .select(col("vec_id"), col("label"),
           round(col("sv").cast("double") / col("n_tests"), 6).as("shapley"))
         .localCheckpoint() // two rank passes share it
-      val top = values.withColumn("rk", row_number().over(
+      // both ends via distributed TakeOrdered; the rank windows then run
+      // over 10 rows, never the corpus-sized value frame (r15)
+      val top = values.orderBy(col("shapley").desc, col("vec_id")).limit(10)
+        .withColumn("rk", row_number().over(
           Window.orderBy(col("shapley").desc, col("vec_id"))))
-        .filter(col("rk") <= 10).withColumn("side", lit("top"))
-      val bottom = values.withColumn("rk", row_number().over(
+        .withColumn("side", lit("top"))
+      val bottom = values.orderBy(col("shapley").asc, col("vec_id")).limit(10)
+        .withColumn("rk", row_number().over(
           Window.orderBy(col("shapley").asc, col("vec_id"))))
-        .filter(col("rk") <= 10).withColumn("side", lit("bottom"))
+        .withColumn("side", lit("bottom"))
       top.unionByName(bottom)
         .select(col("side"), col("rk"), col("vec_id"), col("label"), col("shapley"))
         .orderBy(col("side").desc, col("rk"))

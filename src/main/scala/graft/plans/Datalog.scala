@@ -722,9 +722,33 @@ object Datalog {
               Sol(pair, schema)
             }
             // materializes the pair (the round's ONE job per head) and
-            // probes convergence in the same pass
-            def novelCount(s: Sol): Long =
-              s.pair.map(_._2.count.toLong).sum().toLong
+            // probes convergence in the same pass; bytes ride along so
+            // the round knows whether the delta is broadcast-sized
+            def novelStats(s: Sol): (Long, Long) =
+              s.pair.map(p => (p._2.count.toLong, p._2.bytes.length.toLong))
+                .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+            // Small-delta broadcast discipline: the delta frame is a
+            // LogicalRDD with no usable stats, so Catalyst would never
+            // pick it as a broadcast side on its own — every round's
+            // delta⋈EDB join then either re-broadcasts the (large) EDB
+            // side each round (if the caller hinted it) or exchanges the
+            // EDB at the clamped width. The engine KNOWS the delta's
+            // exact bytes (the arena), so when it fits the session's
+            // broadcast threshold the delta frame itself carries the
+            // hint — each round's frontier join becomes a broadcast hash
+            // join with the EDB scanned in place, the SsspOps shape
+            // derived instead of hand-written. Fat rounds (delta over
+            // threshold) fall back to the ordinary exchange, which is
+            // the honest plan at that size.
+            val bcThreshold: Long = {
+              val v = spark.conf
+                .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+              try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+              catch { case _: Exception => 10L * 1024 * 1024 }
+            }
+            def maybeBroadcast(df: DataFrame, bytes: Long): DataFrame =
+              if (bcThreshold > 0 && bytes <= bcThreshold) broadcast(df)
+              else df
             def hashCols(k: String, schema: StructType): Seq[String] = {
               val cols = ordinal(schema.fieldNames)
               foldSpec.get(k) match {
@@ -770,7 +794,7 @@ object Datalog {
               val merged = fs.reduceLeft(_.unionByName(_))
               val prev = sol.get(k)
               val s1 = mergeInto(merged, prev, k)
-              val nNew = novelCount(s1)
+              val (nNew, novBytes) = novelStats(s1)
               if (nNew == 0) {
                 s1.pair.unpersist(false) // fresh this call — nothing refs it
                 delta = delta.removed(k)
@@ -781,7 +805,8 @@ object Datalog {
                 prev.foreach(p => staleDrops += p.pair)
                 sol = sol.updated(k, s1)
                 full = full.updated(k, fullFrame(k, s1))
-                delta = delta.updated(k, deltaFrame(k, s1))
+                delta = delta.updated(k,
+                  maybeBroadcast(deltaFrame(k, s1), novBytes))
               }
               nNew
             }

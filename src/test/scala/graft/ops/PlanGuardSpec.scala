@@ -33,6 +33,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q34_dead_heartbeats"      -> 1,
     "q56_tfidf"                -> 1,
     "q91_bm25"                 -> 1,
+    "q92_vocab_coverage"       -> 1,   // 1-row token-mass total onto the 3 probe rows
     "q93_power_iteration_pca"  -> 1,
     "q94_bigram_perplexity"    -> 1,
     "q99_embedding_outliers"   -> 1,
@@ -254,6 +255,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q34_dead_heartbeats",
     "q56_tfidf",
     "q91_bm25",  // 1-row (n_docs, avgdl) aggregate broadcast, as q56's N
+    "q92_vocab_coverage",      // 1-row token-mass total onto the 3 probe rows (the q56 idiom; r15 top-k rewrite)
     "q93_power_iteration_pca", // 1-row norm scalar broadcast per iteration
     "q94_bigram_perplexity",   // 1-row vocabulary-size broadcast
     "q99_embedding_outliers",  // 1-row (n, Σd, Σd²) moments broadcast
