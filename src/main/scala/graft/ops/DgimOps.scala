@@ -135,5 +135,89 @@ object DgimOps {
         TRUE AS cert_ok,
         TRUE AS invariant_ok"""))
 
-  val all: Seq[QueryDef] = Seq(q567DgimWindow)
+  private val Wk    = 512
+  private val TailK = 4096
+
+  /** Keyed DGIM dashboard (r15) — the cluster shape of q567 and the
+    * oracle-checked face of `streaming/KeyedDgimStream`: one DGIM
+    * window of width Wk PER event_type ("even-user events among this
+    * type's last 512"), every key's fold running as an independent
+    * codegen `aggregate` over its own bounded tail — embarrassingly
+    * parallel across keys, exactly the mapGroupsWithState layout the
+    * streaming twin keeps as state. Readout per key: exact window
+    * count + the unconditional half-oldest certificate + the bucket
+    * invariant, both pinned TRUE by the oracle (the q567 idiom).
+    *
+    * Scale shape: the per-key window rank bounds every key's state
+    * input to TailK rows; fold state is O(log² Wk) per key; the exact
+    * check and stream lengths are distributed aggregates. */
+  val q572KeyedDgimDashboard: QueryDef = QueryDef(
+    "q572_keyed_dgim_dashboard",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = EventOps.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)
+            .as("bit"))
+        .localCheckpoint() // per-key tail, exact counts and totals read it
+      val wK = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val ranked = ev.withColumn("rn", row_number().over(wK))
+      val totals = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"))
+      val trueOnes = ranked.filter(col("rn") <= Wk)
+        .groupBy(col("event_type"))
+        .agg(sum(col("bit")).as("true_ones"))
+      // newest TailK bits per key, re-ordered oldest-first inside the
+      // per-key array — the fold input, bounded per key by construction
+      val folded = ranked.filter(col("rn") <= TailK)
+        .groupBy(col("event_type"))
+        .agg(expr("""transform(
+            array_sort(collect_list(named_struct(
+              'ts', ts_us, 'id', event_id, 'b', bit))),
+            x -> x.b)""").as("bits"))
+        .select(col("event_type"), expr(s"${dgimFoldSql(Wk)} AS st"))
+        .select(col("event_type"),
+          expr("""CASE WHEN size(st.bk) = 0 THEN 0L
+            WHEN size(st.bk) = 1 THEN element_at(st.bk, 1).sz
+            ELSE aggregate(slice(st.bk, 1, size(st.bk) - 1), 0L,
+                   (a, b) -> a + b.sz)
+              + CAST(element_at(st.bk, size(st.bk)).sz / 2 AS BIGINT)
+            END AS est"""),
+          expr("""CASE WHEN size(st.bk) = 0 THEN 0L
+            ELSE CAST((element_at(st.bk, size(st.bk)).sz + 1) / 2 AS BIGINT)
+            END AS bound"""),
+          expr("""size(filter(sequence(0, size(st.bk) - 1), i ->
+              (element_at(st.bk, i + 1).sz
+                & (element_at(st.bk, i + 1).sz - 1L)) != 0L
+              OR (i > 0 AND element_at(st.bk, i + 1).sz
+                    < element_at(st.bk, i).sz)
+              OR (i > 1 AND element_at(st.bk, i + 1).sz
+                    = element_at(st.bk, i - 1).sz))) = 0
+            AS invariant_ok"""))
+      folded.join(totals, Seq("event_type"))
+        .join(trueOnes, Seq("event_type"))
+        .select(col("event_type"), col("n_type"), lit(Wk.toLong).as("w"),
+          col("true_ones"),
+          (abs(col("est") - col("true_ones")) <= col("bound")).as("cert_ok"),
+          col("invariant_ok"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH ordered AS (
+        SELECT event_type,
+          CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS bit,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events),
+      tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+        FROM events GROUP BY 1),
+      tr AS (SELECT event_type, CAST(SUM(bit) AS BIGINT) AS true_ones
+        FROM ordered WHERE rn <= $Wk GROUP BY 1)
+      SELECT t.event_type, t.n_type, CAST($Wk AS BIGINT) AS w,
+        tr.true_ones, TRUE AS cert_ok, TRUE AS invariant_ok
+      FROM tot t JOIN tr USING (event_type)
+      ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(q567DgimWindow, q572KeyedDgimDashboard)
 }

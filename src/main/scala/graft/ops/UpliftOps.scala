@@ -40,14 +40,13 @@ object UpliftOps {
             .as("treated"))
         .join(conv, Seq("c_custkey"), "left")
         .na.fill(0L, Seq("converted"))
-      // decile assignment over the customer-growing frame via the
-      // range-partitioned spine + exact ntile formula, not a
-      // single-partition window (r15)
-      val decd = Spine.prefixSpine(scored,
-          Seq(col("bal").desc, col("c_custkey")), Nil,
-          totalCol = Some("n_all"))
-        .withColumn("decile",
-          Spine.ntileFromRank(col("pos"), col("n_all"), 10))
+      // size-adaptive deciles (r15): single-task sort at bench scale,
+      // range-partitioned spine once the customer frame outgrows it.
+      // |scored| == |customer| exactly (left join on a distinct key),
+      // so the size probe is a free parquet metadata count
+      val decd = Spine.adaptiveNtile(scored,
+        Seq(col("bal").desc, col("c_custkey")), 10, "decile",
+        knownCount = t.customer.count())
       decd.groupBy(col("decile"))
         .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_t"),
           sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),

@@ -24,6 +24,47 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object DgimStream {
 
+  /** The DGIM transition as a PURE fold — the single Scala source of
+    * truth shared by the global [[DgimStore]] and the keyed
+    * [[KeyedDgimStream]] state update, certified against the batch SQL
+    * (`DgimOps.dgimFoldSql`) by DgimStreamSpec. State = (clock,
+    * buckets newest-first as (size, time)). */
+  private[streaming] def foldBits(w: Int, t0: Long,
+      b0: Vector[(Long, Long)], bits: Iterable[Long])
+      : (Long, Vector[(Long, Long)]) = {
+    var wt = t0
+    var wb = b0
+    bits.foreach { bit =>
+      wt += 1
+      wb = wb.filter(_._2 > wt - w)
+      if (bit == 1L) {
+        wb = (1L, wt) +: wb
+        // cascade: merge the two OLDEST of the first size with three
+        // buckets (sizes are ordered newest-first, equals adjacent)
+        var done = false
+        while (!done) {
+          (0 until wb.length - 2).find(i => wb(i)._1 == wb(i + 2)._1) match {
+            case Some(ix) =>
+              val merged = (wb(ix + 1)._1 * 2, wb(ix + 1)._2)
+              wb = (wb.take(ix + 1) :+ merged) ++ wb.drop(ix + 3)
+            case None => done = true
+          }
+        }
+      }
+    }
+    (wt, wb)
+  }
+
+  /** DGIM estimate: all full buckets + half the oldest. */
+  private[streaming] def estimateOf(b: Vector[(Long, Long)]): Long =
+    if (b.isEmpty) 0L
+    else if (b.length == 1) b.head._1
+    else b.init.map(_._1).sum + b.last._1 / 2
+
+  /** The unconditional error certificate: ⌈oldest/2⌉. */
+  private[streaming] def boundOf(b: Vector[(Long, Long)]): Long =
+    if (b.isEmpty) 0L else (b.last._1 + 1) / 2
+
   /** Standing DGIM state over a window of `w` positions. */
   final class DgimStore(w: Int) {
     private var t = -1L
@@ -33,26 +74,7 @@ object DgimStream {
     /** Fold a batch of bits (already in stream order). */
     def merge(batchId: Long, bits: Seq[Long]): Unit = synchronized {
       if (batchId > lastApplied) {
-        var wt = t
-        var wb = buckets
-        bits.foreach { bit =>
-          wt += 1
-          wb = wb.filter(_._2 > wt - w)
-          if (bit == 1L) {
-            wb = (1L, wt) +: wb
-            // cascade: merge the two OLDEST of the first size with three
-            // buckets (sizes are ordered newest-first, equals adjacent)
-            var done = false
-            while (!done) {
-              (0 until wb.length - 2).find(i => wb(i)._1 == wb(i + 2)._1) match {
-                case Some(ix) =>
-                  val merged = (wb(ix + 1)._1 * 2, wb(ix + 1)._2)
-                  wb = (wb.take(ix + 1) :+ merged) ++ wb.drop(ix + 3)
-                case None => done = true
-              }
-            }
-          }
-        }
+        val (wt, wb) = foldBits(w, t, buckets, bits)
         // publish only after the full fold (retry contract)
         t = wt
         buckets = wb
@@ -61,16 +83,10 @@ object DgimStream {
     }
 
     /** DGIM estimate: all full buckets + half the oldest. */
-    def estimate: Long = synchronized {
-      if (buckets.isEmpty) 0L
-      else if (buckets.length == 1) buckets.head._1
-      else buckets.init.map(_._1).sum + buckets.last._1 / 2
-    }
+    def estimate: Long = synchronized(estimateOf(buckets))
 
     /** The unconditional error certificate: ⌈oldest/2⌉. */
-    def bound: Long = synchronized {
-      if (buckets.isEmpty) 0L else (buckets.last._1 + 1) / 2
-    }
+    def bound: Long = synchronized(boundOf(buckets))
 
     def snapshot: Vector[(Long, Long)] = synchronized(buckets)
     def time: Long = synchronized(t)

@@ -77,6 +77,20 @@ class SpineSpec extends SparkTestBase {
     }
   }
 
+  test("adaptiveNtile: spine path == window path, bit-identical") {
+    val df = spark.range(1037)
+      .select(expr("id * 37 % 1037").as("v"), col("id").as("key"))
+      .repartition(8)
+    val ord = Seq(col("v").desc, col("key"))
+    val small = Spine.adaptiveNtile(df, ord, 10, "b") // window path
+    val big = Spine.adaptiveNtile(df, ord, 10, "b", threshold = 100) // spine path
+    val got = big.select(col("key"), col("b")).orderBy(col("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = small.select(col("key"), col("b")).orderBy(col("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, "the threshold is a physical choice, not semantic")
+  }
+
   test("q563 physical plan carries no window operator at all") {
     withStaticPlan {
       val plan = HeapsOps.q563HeapsLaw.fn(spark, sfDir)
