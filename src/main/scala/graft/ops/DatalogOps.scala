@@ -189,6 +189,73 @@ object DatalogOps {
     // the SAME oracle as q555 — the mode's contract is hash-identity
     SsspOps.q555WeightedSssp.oracle)
 
+  /** Path counting via the r15 SUM-FOLD (bag/counting) datalog mode:
+    *
+    *   cnt(n, c)  ← src(n, c)                       [fold sum@1]
+    *   cnt(y, c)  ← cnt(x, c) ∧ edge(x, y)          [fold sum@1]
+    *
+    * counts the DISTINCT PATHS from the root to every node of the part
+    * hierarchy — the canonical non-idempotent semiring the min-fold
+    * mode refuses: under (ℕ, +), deltas must be additive CONTRIBUTIONS
+    * (each derivation counted exactly once, at the round equal to its
+    * depth), which is sound only for LINEAR rules on a DAG — both
+    * enforced by the engine with loud refusals (DatalogSpec), plus 20
+    * random DAGs vs a naive topological DP (DatalogPropertySpec).
+    *
+    * The node set is capped at partkey ≤ 4096 BY CONTRACT (the q569
+    * fixture-bounded-verify discipline): the DuckDB oracle certifies by
+    * enumerating every path (Σ npaths ≈ n^1.79 rows — census-priced
+    * only under a cap), while the engine leg's cost is rounds ∝ DAG
+    * depth × per-round work ∝ contributions — the shape that runs at
+    * any scale; the cap bounds the ORACLE, not the engine. */
+  val q573DatalogPathCount: QueryDef = QueryDef(
+    "q573_datalog_path_count",
+    (s, dir) => {
+      val cap = 4096L
+      val p = Tables(s, dir).part
+        .select(col("p_partkey").cast("long").as("child"))
+        .filter(col("child") <= cap)
+      val edges = p.filter(col("child") > 1)
+        .select(expr("child div 2").as("parent"), col("child"))
+        .union(p.filter(col("child") > 2)
+          .select(expr("child div 3").as("parent"), col("child"))
+          .filter(col("parent") =!= expr("child div 2")))
+        .localCheckpoint() // relaxed every round
+      val src = s.range(1).select(lit(1L).as("node"), lit(1L).as("c"))
+      val program = Program(Seq(
+        Rule(Atom("cnt", Seq(V("n"), V("c"))),
+          Seq(Atom("src", Seq(V("n"), V("c")))),
+          fold = Some(Fold("sum", 1))),
+        Rule(Atom("cnt", Seq(V("y"), V("c"))),
+          Seq(Atom("cnt", Seq(V("x"), V("c"))),
+            Atom("edge", Seq(V("x"), V("y")))),
+          fold = Some(Fold("sum", 1)))))
+      program.run(Map("edge" -> edges, "src" -> src), "cnt")
+        .groupBy(col("_p1").as("n_paths"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("_p0")).as("node_sum"))
+        .orderBy(col("n_paths"))
+    },
+    Some("""WITH RECURSIVE e AS (
+        SELECT p_partkey // 2 AS parent, p_partkey AS child
+        FROM part WHERE p_partkey > 1 AND p_partkey <= 4096
+        UNION ALL
+        SELECT p_partkey // 3, p_partkey
+        FROM part WHERE p_partkey > 2 AND p_partkey <= 4096
+          AND p_partkey // 3 <> p_partkey // 2),
+      -- UNION ALL: every row is ONE path arrival, so COUNT(*) per node
+      -- IS the path count — the enumeration the sum-fold engine must
+      -- reproduce without enumerating
+      paths(node) AS (
+        SELECT CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT e.child FROM paths p JOIN e ON e.parent = p.node),
+      cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM paths GROUP BY 1)
+      SELECT n_paths, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST(SUM(node) AS BIGINT) AS node_sum
+      FROM cnt GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q501DatalogDependents, q502DatalogReady, q561DatalogSssp)
+    Seq(q501DatalogDependents, q502DatalogReady, q561DatalogSssp,
+      q573DatalogPathCount)
 }

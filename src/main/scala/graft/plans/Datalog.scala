@@ -191,19 +191,36 @@ object Datalog {
   final case class Let(name: String, sqlExpr: String)
 
   /** Aggregate head (semiring recursion): the head term at position
-    * `at` is FOLDED with `op` ("min" | "max") grouped by the remaining
-    * head terms — the relation is a map key→value where a fact is
-    * subsumed by a better-valued fact for the same key. min/max only:
-    * both are idempotent, commutative, associative AND monotone under
-    * the improvement order, so semi-naive evaluation with
-    * improvement-only deltas reaches the same fixpoint as naive
-    * evaluation (Ross & Sagiv 1992's monotonic aggregation; exactly
-    * the Flink delta-iteration / SsspOps loop, derived from the rule).
+    * `at` is FOLDED with `op` grouped by the remaining head terms.
+    *
+    * "min" | "max" — the relation is a map key→value where a fact is
+    * subsumed by a better-valued fact for the same key. Both are
+    * idempotent, commutative, associative AND monotone under the
+    * improvement order, so semi-naive evaluation with improvement-only
+    * deltas reaches the same fixpoint as naive evaluation (Ross &
+    * Sagiv 1992's monotonic aggregation; exactly the Flink
+    * delta-iteration / SsspOps loop, derived from the rule).
+    *
+    * "sum" (r15) — COUNTING/BAG semantics: the value accumulates by
+    * addition and each round's delta carries the round's CONTRIBUTIONS
+    * (not the accumulated totals), so a recursive consumer propagates
+    * increments. Sound because with LINEAR recursion every derivation
+    * tree is enumerated exactly once, at the round equal to its depth
+    * — the differential/bag form of semi-naive, specialised to the
+    * (ℕ, +) monoid. The engine REFUSES the unsound shapes loudly:
+    * non-linear counting rules (a delta×delta firing would need
+    * inclusion–exclusion), strata mixing sum-fold heads with other
+    * recursive heads, non-integral value columns (cross-engine sum
+    * exactness), and non-convergence within the round cap (a cycle
+    * reaching the counted region has infinitely many paths — the sum
+    * semiring has no fixpoint there, so failing IS the right answer).
+    *
     * Every rule for a folded head must declare the same Fold; the
-    * value column must be an integral/double column and the head needs
-    * at least one key term. */
+    * value column must be integral (min/max also allow double) and the
+    * head needs at least one key term. */
   final case class Fold(op: String, at: Int) {
-    require(op == "min" || op == "max", s"fold op $op (min|max only)")
+    require(op == "min" || op == "max" || op == "sum",
+      s"fold op $op (min|max|sum only)")
   }
 
   final case class Rule(head: Atom, body: Seq[Atom],
@@ -351,17 +368,25 @@ object Datalog {
       acc.select(proj: _*)
     }
 
-    /** Reduce a folded head's candidates to one best value per key —
-      * groupBy(keys).agg(min|max(value)), columns restored to ordinal
-      * order. The groupBy's own exchange is the hash(keys, width) layout
-      * the recursive solution maps live in. */
+    /** Reduce a folded head's candidates to one row per key —
+      * groupBy(keys).agg(min|max|sum(value)), columns restored to
+      * ordinal order. The groupBy's own exchange is the hash(keys,
+      * width) layout the recursive solution maps live in. Sum folds
+      * additionally drop zero contributions (the semiring's absorbing
+      * zero — identity under +, so dropping is sound and keeps empty
+      * rounds empty). */
     private def reduceFold(df: DataFrame, f: Fold): DataFrame = {
       val cols = df.columns.sortBy(_.drop(2).toInt).toSeq
       val valCol = s"_p${f.at}"
       val keyCols = cols.filterNot(_ == valCol)
-      val agg = if (f.op == "min") min(col(valCol)) else max(col(valCol))
-      df.groupBy(keyCols.map(col): _*).agg(agg.as(valCol))
+      val agg = f.op match {
+        case "min" => min(col(valCol))
+        case "max" => max(col(valCol))
+        case "sum" => sum(col(valCol)).cast(df.schema(valCol).dataType)
+      }
+      val reduced = df.groupBy(keyCols.map(col): _*).agg(agg.as(valCol))
         .select(cols.map(col): _*)
+      if (f.op == "sum") reduced.filter(col(valCol) =!= 0) else reduced
     }
 
     /** Run the program over extensional relations `edb`; returns the
@@ -382,6 +407,25 @@ object Datalog {
         val stratumRules = rules.filter(r => stratumRels.contains(r.head.rel))
         val recursive = stratumRels.filter { rel =>
           stratumRules.exists(_.body.exists(a => !a.negated && a.rel == rel))
+        }
+        // sum-fold (counting) soundness gates — refuse loudly, never
+        // silently mis-count (see Fold's scaladoc for the argument)
+        val sumHeads = stratumRules
+          .filter(_.fold.exists(_.op == "sum")).map(_.head.rel).toSet
+        if (sumHeads.nonEmpty && recursive.nonEmpty) {
+          require(recursive.subsetOf(sumHeads),
+            s"stratum mixes sum-fold counting heads ($sumHeads) with other " +
+              s"recursive heads (${recursive -- sumHeads}) — bag and " +
+              "set/min semantics cannot share one fixpoint soundly; " +
+              "split the strata or fold the others")
+          stratumRules.filter(r => sumHeads.contains(r.head.rel)).foreach { r =>
+            val nRec = r.body.count(a => !a.negated && recursive.contains(a.rel))
+            require(nRec <= 1,
+              s"rule for ${r.head.rel}: non-linear counting recursion " +
+                s"($nRec recursive atoms) — delta×delta firings double-count " +
+                "derivations (inclusion–exclusion territory); counting heads " +
+                "must be LINEAR")
+          }
         }
         // ——— the fixpoint driver (Flink delta-iteration discipline) ———
         //
@@ -573,6 +617,81 @@ object Datalog {
                         val novA = nov.result()
                         if (novA.count == 0) Iterator((old, novA))
                         else Iterator((sol.result(), novA))
+                      }
+                    }
+                  case Some(f) if f.op == "sum" =>
+                    // counting/bag walk: candidates are the round's
+                    // per-key CONTRIBUTIONS (reduceFold pre-summed);
+                    // existing keys accumulate by addition, the novel
+                    // arena carries the contribution rows themselves so
+                    // the next round propagates increments, not totals
+                    val vi = f.at
+                    val keyIdx = cols.indices.filterNot(_ == vi).toArray
+                    val types = schema.fields.map(_.dataType)
+                    val isLong = types(vi) match {
+                      case LongType    => true
+                      case IntegerType => false
+                      case other => throw new IllegalArgumentException(
+                        s"$k: sum-fold value type $other (long/int only — " +
+                          "cross-engine sum exactness)")
+                    }
+                    val nf = schema.size
+                    (cIt, base0) => {
+                      val (okeys, orows) = base0.asInstanceOf[(Arena, Arena)]
+                      val proj = UnsafeProjection.create(keyIdx.toIndexedSeq
+                        .map(i => BoundReference(i, types(i), nullable = true)))
+                      val buf = scala.collection.mutable.ArrayBuffer
+                        .empty[(UnsafeRow, UnsafeRow)]
+                      cIt.foreach { ir =>
+                        val u = ir.asInstanceOf[UnsafeRow]
+                        if (!u.isNullAt(vi))
+                          buf += ((proj(u).copy(), u.copy()))
+                      }
+                      if (buf.isEmpty) Iterator(((okeys, orows), Arena.empty))
+                      else {
+                        val cand = buf.toArray
+                        java.util.Arrays.sort(cand,
+                          ((p, q) => compareRows(p._1, q._1)):
+                            java.util.Comparator[(UnsafeRow, UnsafeRow)])
+                        val mk = new ArenaBuilder(
+                          okeys.bytes.length + 24 * cand.length,
+                          okeys.count + cand.length)
+                        val mr = new ArenaBuilder(
+                          orows.bytes.length + 32 * cand.length,
+                          okeys.count + cand.length)
+                        val nov = new ArenaBuilder(1024, 64)
+                        val cursor =
+                          new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nf)
+                        var i = 0; var lo = 0; var j = 0
+                        while (j < cand.length) {
+                          val (k2, r2) = cand(j)
+                          var cmp = 1
+                          while (i < okeys.count &&
+                                 { cmp = compareEntry(okeys, i, k2); cmp < 0 })
+                            i += 1
+                          mk.appendRange(okeys, lo, i)
+                          mr.appendRange(orows, lo, i)
+                          if (i < okeys.count && cmp == 0) {
+                            cursor.pointTo(orows.bytes,
+                              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+                                + orows.offs(i), orows.len(i))
+                            val acc = cursor.copy() // fresh bytes, safe to mutate
+                            if (isLong) acc.setLong(vi,
+                              acc.getLong(vi) + r2.getLong(vi))
+                            else acc.setInt(vi, acc.getInt(vi) + r2.getInt(vi))
+                            mk.appendRange(okeys, i, i + 1)
+                            mr.appendRow(acc)
+                            i += 1
+                          } else {
+                            mk.appendRow(k2); mr.appendRow(r2)
+                          }
+                          nov.appendRow(r2) // the contribution, always novel
+                          lo = i
+                          j += 1
+                        }
+                        mk.appendRange(okeys, lo, okeys.count)
+                        mr.appendRange(orows, lo, orows.count)
+                        Iterator(((mk.result(), mr.result()), nov.result()))
                       }
                     }
                   case Some(f) =>
@@ -816,8 +935,18 @@ object Datalog {
             var changed = delta.nonEmpty
             val trace = sys.env.contains("GRAFT_DL_TRACE")
             var round = 0
+            // a cycle reaching a counted region has no finite path
+            // count — the sum semiring has no fixpoint, so failing loud
+            // at the cap IS the sound behaviour (min/max strata need no
+            // cap: improvement deltas shrink monotonically)
+            val maxRounds = if (sumHeads.isEmpty) Int.MaxValue
+              else sys.props.getOrElse("graft.dl.sumMaxRounds", "4096").toInt
             while (changed) {
               round += 1
+              require(round <= maxRounds,
+                s"sum-fold stratum did not converge in $maxRounds rounds — " +
+                  "cyclic input reaching a counted head (path count is " +
+                  "infinite there); counting requires a DAG")
               val t0 = System.nanoTime()
               val avail = rels ++ full
               // RAW firings per head; dedup + novelty ONCE per head

@@ -249,6 +249,46 @@ class DatalogPropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: sum-fold counting == naive topological DP on 20 random DAGs") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    (1 to 20).foreach { i =>
+      // random DAG (edges low → high id), multi-source with seed counts
+      val nNodes = 3 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 0 until nNodes; b <- (a + 1) until nNodes
+        if rnd.nextInt(3) == 0
+      } yield (a.toLong, b.toLong)).toVector
+      val srcs = (0 until 1 + rnd.nextInt(2))
+        .map(_ => rnd.nextInt(nNodes).toLong).distinct
+      // naive: process nodes in topological (id) order, accumulate counts
+      var cnt = srcs.map(_ -> 1L).toMap
+      (0 until nNodes).foreach { a =>
+        cnt.get(a.toLong).foreach { ca =>
+          edges.filter(_._1 == a.toLong).foreach { case (_, b) =>
+            cnt += (b -> (cnt.getOrElse(b, 0L) + ca))
+          }
+        }
+      }
+      val program = Program(Seq(
+        Rule(Atom("cnt", Seq(V("n"), V("c"))),
+          Seq(Atom("s", Seq(V("n"), V("c")))),
+          fold = Some(Fold("sum", 1))),
+        Rule(Atom("cnt", Seq(V("y"), V("c"))),
+          Seq(Atom("cnt", Seq(V("x"), V("c"))),
+            Atom("e", Seq(V("x"), V("y")))),
+          fold = Some(Fold("sum", 1)))))
+      val frames = Map(
+        "e" -> (if (edges.nonEmpty) edges.toDF("a", "b")
+                else Seq.empty[(Long, Long)].toDF("a", "b")),
+        "s" -> srcs.map(n => (n, 1L)).toDF("n", "c"))
+      val got = program.run(frames, "cnt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == cnt,
+        s"case $i: engine=$got naive=$cnt edges=$edges srcs=$srcs")
+    }
+  }
+
   test("max-fold recursion: longest path on the literal diamond") {
     import spark.implicits._
     // 1→2 (w1), 1→3 (w5), 2→4 (w1), 3→4 (w1): longest to 4 is 6 via 3
@@ -277,7 +317,10 @@ class DatalogPropertySpec extends SparkTestBase {
         Rule(Atom("p", Seq(V("x"), V("y"))), Seq(Atom("e", Seq(V("x"), V("y")))))))
         .strata
     }
-    intercept[IllegalArgumentException] { Fold("sum", 1) }
+    // sum became a first-class counting mode in r15; avg remains
+    // refused (not expressible as a semiring fold — needs (sum, count)
+    // pair state, i.e. TWO folded columns)
+    intercept[IllegalArgumentException] { Fold("avg", 1) }
   }
 
   test("property: every generated program is stratifiable and strata place q above p on negation") {

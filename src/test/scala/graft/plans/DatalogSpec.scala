@@ -182,6 +182,71 @@ class DatalogSpec extends SparkTestBase {
     assert(q == expected, "q mirrors p's full closure")
   }
 
+  test("sum-fold counting: path counts on a reconverging DAG are exact") {
+    // diamond with a tail: a→{b,c}→d→e plus a direct a→d shortcut —
+    // npaths: a=1 (seed), b=c=1, d=3 (via b, via c, direct), e=3
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("a", "d"), ("d", "e")).toDF("u", "v")
+    val src = Seq(("a", 1L)).toDF("n", "c")
+    val program = Program(Seq(
+      Rule(Atom("cnt", Seq(V("n"), V("c"))),
+        Seq(Atom("src", Seq(V("n"), V("c")))),
+        fold = Some(Fold("sum", 1))),
+      Rule(Atom("cnt", Seq(V("y"), V("c"))),
+        Seq(Atom("cnt", Seq(V("x"), V("c"))),
+          Atom("edge", Seq(V("x"), V("y")))),
+        fold = Some(Fold("sum", 1)))))
+    val got = program.run(Map("edge" -> edges, "src" -> src), "cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 3L, "e" -> 3L))
+  }
+
+  test("sum-fold refusals: non-linear rules, mixed strata, cycles") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("u", "v")
+    val src = Seq((1L, 1L)).toDF("n", "c")
+    // non-linear: two recursive atoms under a counting head
+    val nonLinear = Program(Seq(
+      Rule(Atom("cnt", Seq(V("n"), V("c"))),
+        Seq(Atom("src", Seq(V("n"), V("c")))), fold = Some(Fold("sum", 1))),
+      Rule(Atom("cnt", Seq(V("y"), V("c"))),
+        Seq(Atom("cnt", Seq(V("x"), V("c"))),
+          Atom("cnt", Seq(V("y"), V("c2"))),
+          Atom("edge", Seq(V("x"), V("y")))),
+        lets = Nil, fold = Some(Fold("sum", 1)))))
+    val e1 = intercept[IllegalArgumentException](
+      nonLinear.run(Map("edge" -> edges, "src" -> src), "cnt"))
+    assert(e1.getMessage.contains("LINEAR"))
+    // mixed stratum: a counting head mutually recursive with a set head
+    val mixed = Program(Seq(
+      Rule(Atom("cnt", Seq(V("n"), V("c"))),
+        Seq(Atom("src", Seq(V("n"), V("c")))), fold = Some(Fold("sum", 1))),
+      Rule(Atom("seen", Seq(V("y"))),
+        Seq(Atom("cnt", Seq(V("y"), V("c"))))),
+      Rule(Atom("cnt", Seq(V("y"), V("c"))),
+        Seq(Atom("seen", Seq(V("x"))), Atom("src", Seq(V("x"), V("c"))),
+          Atom("edge", Seq(V("x"), V("y")))),
+        fold = Some(Fold("sum", 1)))))
+    val e2 = intercept[IllegalArgumentException](
+      mixed.run(Map("edge" -> edges, "src" -> src), "cnt"))
+    assert(e2.getMessage.contains("mixes sum-fold"))
+    // cycle: 1→2→1 — infinite path count, must fail at the round cap
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val counting = Program(Seq(
+      Rule(Atom("cnt", Seq(V("n"), V("c"))),
+        Seq(Atom("src", Seq(V("n"), V("c")))), fold = Some(Fold("sum", 1))),
+      Rule(Atom("cnt", Seq(V("y"), V("c"))),
+        Seq(Atom("cnt", Seq(V("x"), V("c"))), Atom("edge", Seq(V("x"), V("y")))),
+        fold = Some(Fold("sum", 1)))))
+    sys.props("graft.dl.sumMaxRounds") = "6"
+    try {
+      val e3 = intercept[IllegalArgumentException](
+        counting.run(Map("edge" -> cyc, "src" -> src), "cnt"))
+      assert(e3.getMessage.contains("cyclic"))
+    } finally sys.props.remove("graft.dl.sumMaxRounds")
+  }
+
   test("set-semantics arena equates -0.0 with +0.0 (SQL distinct parity)") {
     // the arena dedups on raw UnsafeRow bytes; -0.0 and +0.0 differ
     // bit-wise but SQL .distinct() equates them — the candidate
