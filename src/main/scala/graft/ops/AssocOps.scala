@@ -122,8 +122,10 @@ object AssocOps {
           col("o_orderkey").as("okey"))
         .localCheckpoint() // cutoffs + grid
       val nRow = o.agg(count(lit(1)).as("n"))
-      val cuts = o
-        .withColumn("r", row_number().over(Window.orderBy(col("v"), col("okey"))))
+      // size-adaptive tercile-cut ranks (r15): window at bench scale,
+      // spine above; the count probe scans the checkpointed frame
+      val cuts = Spine.adaptiveRank(o, Seq(col("v"), col("okey")),
+          rankCol = "r")
         .crossJoin(broadcast(nRow))
         .where(col("r") === expr("n div 3") || col("r") === expr("2 * n div 3"))
         .groupBy().agg(min(col("v")).as("c1"), max(col("v")).as("c2"))
@@ -215,8 +217,10 @@ object AssocOps {
           col("o_orderkey").as("okey"))
         .localCheckpoint()
       val nRow = o.agg(count(lit(1)).as("n"))
-      val cuts = o
-        .withColumn("r", row_number().over(Window.orderBy(col("v"), col("okey"))))
+      // size-adaptive tercile-cut ranks (r15): window at bench scale,
+      // spine above; the count probe scans the checkpointed frame
+      val cuts = Spine.adaptiveRank(o, Seq(col("v"), col("okey")),
+          rankCol = "r")
         .crossJoin(broadcast(nRow))
         .where(col("r") === expr("n div 3") || col("r") === expr("2 * n div 3"))
         .groupBy().agg(min(col("v")).as("c1"), max(col("v")).as("c2"))

@@ -54,11 +54,12 @@ object ConformalOps {
         .select(col("okey"), col("segment"), col("calib"), col("r"))
         .localCheckpoint()
       val cal = resid.where(col("calib"))
-      // pooled q-hat: global order statistic at ceil((n+1)·0.9)
-      val wPool = Window.orderBy(col("r"), col("okey"))
+      // pooled q-hat: global order statistic at ceil((n+1)·0.9) —
+      // size-adaptive rank (r15), probe = the nPool already counted
       val nPool = cal.count()
       val kPool = math.min(nPool, math.ceil((nPool + 1) * 0.9).toLong)
-      val qPool = cal.withColumn("rk", row_number().over(wPool).cast("long"))
+      val qPool = Spine.adaptiveRank(cal, Seq(col("r"), col("okey")),
+          rankCol = "rk", knownCount = nPool)
         .where(col("rk") === kPool)
         .select(col("r").as("qhat_pooled"))
       // Mondrian q-hat: the same order statistic within each segment

@@ -44,11 +44,14 @@ object DecideOps {
           round(size(array_distinct(col("toks"))).cast("double") /
             size(col("toks")), 9).as("s2"))
         .localCheckpoint() // both rankings + the combined score read it
-      val ranked = scored
-        .withColumn("rk1", row_number().over(
-          Window.orderBy(col("s1").desc, col("doc_id").asc)).cast("long"))
-        .withColumn("rk2", row_number().over(
-          Window.orderBy(col("s2").desc, col("doc_id").asc)).cast("long"))
+      // both full TA rankings size-adaptive (r15): window at bench
+      // scale, spine above; probe counts scan the checkpointed frame
+      val nDocs = scored.count()
+      val ranked = Spine.adaptiveRank(
+          Spine.adaptiveRank(scored, Seq(col("s1").desc, col("doc_id").asc),
+            rankCol = "rk1", knownCount = nDocs),
+          Seq(col("s2").desc, col("doc_id").asc),
+          rankCol = "rk2", knownCount = nDocs)
         .withColumn("combined", round(col("s1") + col("s2"), 9))
         .withColumn("first_seen", least(col("rk1"), col("rk2")))
         .localCheckpoint()

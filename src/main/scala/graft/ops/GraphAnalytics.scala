@@ -191,18 +191,25 @@ object GraphAnalytics {
   val q104RrfFusion: QueryDef = QueryDef(
     "q104_rrf_fusion",
     (s, dir) => {
-      val bm = CurationOps.q91Bm25.fn(s, dir)
-        .withColumn("r_bm25", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      // both full input rankings size-adaptive (r15): window at bench
+      // scale, spine above; score frames checkpoint once so the probe
+      // scans cached blocks
+      val bmScores = CurationOps.q91Bm25.fn(s, dir).localCheckpoint()
+      val bm = Spine.adaptiveRank(bmScores,
+          Seq(col("bm25").desc, col("doc_id").asc),
+          rankCol = "r_bm25", knownCount = bmScores.count())
         .select(col("doc_id"), col("r_bm25"))
-      val ttr = Tables(s, dir).documents
+      val ttrScores = Tables(s, dir).documents
         .withColumn("toks", TextOps.tokens(col("text")))
         .filter(size(col("toks")) > 0)
         .withColumn("ttr", round(
           size(array_distinct(col("toks"))).cast("double") /
             size(col("toks")).cast("double"), 9))
-        .withColumn("r_ttr", row_number().over(
-          Window.orderBy(col("ttr").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("ttr"))
+        .localCheckpoint()
+      val ttr = Spine.adaptiveRank(ttrScores,
+          Seq(col("ttr").desc, col("doc_id").asc),
+          rankCol = "r_ttr", knownCount = ttrScores.count())
         .select(col("doc_id"), col("r_ttr"))
       bm.join(ttr, Seq("doc_id"), "full_outer")
         .withColumn("rrf", round(

@@ -220,17 +220,23 @@ object IrOps {
         .join(Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
           Seq("doc_id"))
         .localCheckpoint() // feeds truth ranking and every budget's cascade
-      val wB = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-      val wQ = Window.orderBy(col("n_chars").desc, col("doc_id").asc)
-      val ranked = scored
-        .withColumn("rk_b", row_number().over(wB).cast("long"))
-        .withColumn("rk_q", row_number().over(wQ).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("blend", round(
-          lit(0.5) * (lit(1.0) - (col("rk_b") - 1).cast("double") / col("n")) +
-          lit(0.5) * (lit(1.0) - (col("rk_q") - 1).cast("double") / col("n")), 9))
-        .withColumn("rk_truth", row_number().over(
-          Window.orderBy(col("blend").desc, col("doc_id").asc)).cast("long"))
+      // all three full rankings size-adaptive (r15); the blend
+      // normalizer n comes from the probe count instead of a
+      // single-partition count window over the same frame
+      val nDocs = scored.count()
+      val withRanks = Spine.adaptiveRank(
+        Spine.adaptiveRank(scored, Seq(col("bm25").desc, col("doc_id").asc),
+          rankCol = "rk_b", knownCount = nDocs),
+        Seq(col("n_chars").desc, col("doc_id").asc),
+        rankCol = "rk_q", knownCount = nDocs)
+      val ranked = Spine.adaptiveRank(
+          withRanks
+            .withColumn("n", lit(nDocs))
+            .withColumn("blend", round(
+              lit(0.5) * (lit(1.0) - (col("rk_b") - 1).cast("double") / col("n")) +
+              lit(0.5) * (lit(1.0) - (col("rk_q") - 1).cast("double") / col("n")), 9)),
+          Seq(col("blend").desc, col("doc_id").asc),
+          rankCol = "rk_truth", knownCount = nDocs)
         .localCheckpoint()
       val budgets = broadcast(Tables(s, dir).region.limit(1)
         .select(explode(array(lit(25L), lit(50L), lit(100L))).as("budget")))

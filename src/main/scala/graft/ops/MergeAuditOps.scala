@@ -35,9 +35,11 @@ object MergeAuditOps {
         .localCheckpoint() // feeds shard summaries, probes, and true ranks
       val n = o.count()
       // exact global probe values at the five quantiles
-      val probes = o
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("v"), col("o_orderkey"))))
+      // exact global probe ranks, size-adaptive (r15): window at bench
+      // scale, spine above; probe count = the n already computed on the
+      // checkpointed frame
+      val probes = Spine.adaptiveRank(o,
+          Seq(col("v"), col("o_orderkey")), rankCol = "rn", knownCount = n)
         .crossJoin(broadcast(s.createDataFrame(
           Seq(Tuple1(0.25), Tuple1(0.5), Tuple1(0.75), Tuple1(0.9), Tuple1(0.99)))
           .toDF("q")))

@@ -30,9 +30,12 @@ object MonitorOps {
       val ev = EventOps.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       val n = ev.count()
-      val perLook = ev
-        .withColumn("rn", row_number().over(
-          Window.orderBy(unix_micros(col("ts")), col("event_id"))))
+      // look assignment by GLOBAL stream position: size-adaptive rank
+      // (r15) — window while events fit one task, range-partitioned
+      // spine above; the probe reuses the n this query already counts
+      val perLook = Spine.adaptiveRank(ev,
+          Seq(unix_micros(col("ts")), col("event_id")),
+          rankCol = "rn", knownCount = n)
         .withColumn("look",
           least(lit(5L), expr(s"CAST((rn - 1) * 5 DIV $n AS LONG) + 1")))
         .withColumn("grp", pmod(col("user_id"), lit(2)).cast("int"))

@@ -31,10 +31,10 @@ object PartitionPlanOps {
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // cum pass + assign pass + hash pass
       val tot = keys.agg(sum(col("cnt")).as("n"))
-      val cum = keys
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.orderBy(col("k"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // size-adaptive cumulative counts over the key census (r15):
+      // window at bench scale, spine above; probe scans the checkpoint
+      val cum = Spine.adaptiveRank(keys, Seq(col("k")), Seq("cnt"))
+        .withColumnRenamed("cum_cnt", "cum").drop("pos")
       // boundary i = first key whose cumulative count reaches i·N/P,
       // i = 1..P−1 (floor-crossing test: ceil would flag the first key)
       val bounds = cum.crossJoin(broadcast(tot))

@@ -42,11 +42,14 @@ object QuantRegOps {
       // cumulative pass + a broadcast tau fan-out picking min qualifying
       // cumw per tau (cumw strictly increases along the ratio order, so
       // min cumw ≡ the rank-1 row of the window form). Measured 22.7 → 7.6 s.
-      val wCum = Window.orderBy(col("r"), col("ok"), col("ln"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val ranked = li
-        .withColumn("r", col("y").cast("double") / col("x").cast("double"))
-        .withColumn("cumw", sum(col("x")).over(wCum))
+      // size-adaptive cumulative weights (r15): window while lineitem
+      // fits one task, range-partitioned spine above; the probe is a
+      // free parquet metadata count (|frame| ≡ |lineitem|)
+      val ranked = Spine.adaptiveRank(
+          li.withColumn("r", col("y").cast("double") / col("x").cast("double")),
+          Seq(col("r"), col("ok"), col("ln")), Seq("x"),
+          knownCount = Tables(s, dir).lineitem.count())
+        .withColumnRenamed("cum_x", "cumw")
         .select(col("r"), col("cumw"))
         .localCheckpoint()
       val bstar = ranked.crossJoin(broadcast(taus))

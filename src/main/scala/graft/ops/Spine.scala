@@ -135,6 +135,33 @@ object Spine {
         .drop("pos", "__n_all")
   }
 
+  /** Size-adaptive exact global rank + running sums — [[adaptiveNtile]]'s
+    * general sibling for the audit queue's row_number/cumulative-sum
+    * sites: at or below `threshold` rows the classic global window runs
+    * (optimal while the frame fits one task), above it [[prefixSpine]]
+    * keeps the frame distributed. Identical output either way: a
+    * `rankCol` BIGINT global rank ordered by `ord` plus one `cum_<c>`
+    * inclusive running sum per `sumCols` entry. Pass `knownCount` when
+    * the cardinality is provable cheaply (a metadata count, an
+    * already-materialized localCheckpoint, a count the query computes
+    * anyway) so the probe costs nothing. */
+  def adaptiveRank(df: DataFrame, ord: Seq[Column],
+                   sumCols: Seq[String] = Nil, rankCol: String = "pos",
+                   threshold: Long = 8000000L,
+                   knownCount: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number, sum}
+    val n = if (knownCount >= 0) knownCount else df.count()
+    if (n <= threshold) {
+      val w = Window.orderBy(ord: _*)
+      val ranked = df.withColumn(rankCol, row_number().over(w).cast("long"))
+      sumCols.foldLeft(ranked) { (d, c) =>
+        d.withColumn(s"cum_$c", sum(col(c)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      }
+    } else prefixSpine(df, ord, sumCols, rankCol)
+  }
+
   /** Exact ANSI `ntile(k)` from a spine rank: with n = qk + r, the
     * first r buckets take q+1 rows, the rest q — so ntile over a
     * corpus-growing frame becomes [[prefixSpine]] + this pure

@@ -258,14 +258,17 @@ object StorageOps {
       val train = li.filter(col("day") < lit("1999-01-01"))
         .groupBy(col("key"))
         .agg(count(lit(1)).as("freq"), max(col("day")).as("last_day"))
-      val wRank = Window.orderBy(col("freq").desc, col("last_day").desc,
-        col("key").asc)
-      val tiers = train
-        .withColumn("rk", row_number().over(wRank).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .localCheckpoint() // size probe + rank pass share one pass
+      // size-adaptive tier ranking (r15); the 10 %/40 % cuts use the
+      // probe's count directly instead of a single-partition count
+      // window over the same frame
+      val nTrain = train.count()
+      val tiers = Spine.adaptiveRank(train,
+          Seq(col("freq").desc, col("last_day").desc, col("key").asc),
+          rankCol = "rk", knownCount = nTrain)
         .withColumn("tier",
-          when(col("rk") <= ceil(col("n") * 0.1), "hot")
-            .when(col("rk") <= ceil(col("n") * 0.4), "warm")
+          when(col("rk") <= lit(math.ceil(nTrain * 0.1).toLong), "hot")
+            .when(col("rk") <= lit(math.ceil(nTrain * 0.4).toLong), "warm")
             .otherwise("cold"))
       val evalAcc = li.filter(col("day") >= lit("1999-01-01"))
       evalAcc.join(tiers.select(col("key"), col("tier"), col("freq")), Seq("key"), "left")

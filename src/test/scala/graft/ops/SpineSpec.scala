@@ -91,6 +91,18 @@ class SpineSpec extends SparkTestBase {
     assert(got == want, "the threshold is a physical choice, not semantic")
   }
 
+  test("adaptiveRank: spine path == window path (rank + running sum)") {
+    val df = spark.range(500)
+      .select(expr("id * 7 % 500").as("k"), (pmod(col("id"), lit(5)) + 1).as("v"))
+      .repartition(6)
+    val ord = Seq(col("k"))
+    val win = Spine.adaptiveRank(df, ord, Seq("v"))
+    val spn = Spine.adaptiveRank(df, ord, Seq("v"), threshold = 50)
+    val a = win.orderBy(col("k")).collect().map(_.toSeq).toSeq
+    val b = spn.orderBy(col("k")).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("q563 physical plan carries no window operator at all") {
     withStaticPlan {
       val plan = HeapsOps.q563HeapsLaw.fn(spark, sfDir)
