@@ -77,7 +77,7 @@ object SparkEntry {
       HomogeneityOps.all,
       GoodTuringOps.all, ConcentrationOps.all, ZipfFitOps.all, HeapsOps.all,
       KeynessG2Ops.all, LmJmOps.all, PageHinkleyOps.all, ViterbiOps.all,
-      DgimOps.all, LcsOps.all
+      DgimOps.all, LcsOps.all, DsirOps.all, SemDedupOps.all
     ).flatten
 
   /** Flagship: a full engine pass on sf0.001 — build a 4-stage job DAG

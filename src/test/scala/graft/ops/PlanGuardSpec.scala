@@ -37,7 +37,6 @@ class PlanGuardSpec extends SparkTestBase {
     "q93_power_iteration_pca"  -> 1,
     "q94_bigram_perplexity"    -> 1,
     "q99_embedding_outliers"   -> 1,
-    "q104_rrf_fusion"          -> 1,
     "q114_chi2_keyness"        -> 1,
     "q122_association_rules"   -> 1,
     "q127_hll_users"           -> 1,
@@ -218,7 +217,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q564_jm_perplexity"       -> 2,   // 2-row λ grid + 1-row model totals onto the held census
     "q565_viterbi_decode"      -> 1,   // 1-row (n, k) census total onto the |types|-row emission frame
     "q567_dgim_window"         -> 1,   // 1-row exact window count beside the 1-row folded sketch state
-    "q570_keyness_g2"          -> 1,   // 1-row (na, nb) corpus totals onto the term census
+    "q570_keyness_g2"          -> 1,
+    "q575_dsir_selection"      -> 1,   // 1-row (t_raw, t_tgt) totals onto the 64-row bucket census   // 1-row (na, nb) corpus totals onto the term census
     "q30_cosine_knn"           -> 8,
     "q55_embedding_dedup"      -> 4000)
 
@@ -259,7 +259,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q93_power_iteration_pca", // 1-row norm scalar broadcast per iteration
     "q94_bigram_perplexity",   // 1-row vocabulary-size broadcast
     "q99_embedding_outliers",  // 1-row (n, Σd, Σd²) moments broadcast
-    "q104_rrf_fusion",         // inherits q91's 1-row (n_docs, avgdl) broadcast
+    // q104_rrf_fusion dropped r15: the input score frames localCheckpoint
+    // before ranking, which truncates q91's broadcast out of the final
+    // plan (the q253/q372 truncation case below)
     "q114_chi2_keyness",       // 1-row corpus token count broadcast (was a driver-side count)
     "q122_association_rules",  // 1-row order count broadcast (was a driver-side count)
     "q127_hll_users",          // 1-row union-of-sketches estimate broadcast
@@ -436,7 +438,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q564_jm_perplexity",      // 2-row λ grid + 1-row model totals onto the held census (the q213 sweep idiom)
     "q565_viterbi_decode",     // 1-row (n, k) census total onto the emission frame (the q56 idiom)
     "q567_dgim_window",        // 1-row exact window count beside the 1-row sketch state (the q215 idiom)
-    "q570_keyness_g2")         // 1-row (na, nb) totals onto the term census (the q56 idiom)
+    "q570_keyness_g2",         // 1-row (na, nb) totals onto the term census (the q56 idiom)
+    "q575_dsir_selection")     // 1-row smoothing totals onto the 64-row bucket census (the q56 idiom)
   // q540_err_metric's 4-term dimension joins by EQUI key (term) — a plain
   // broadcast hash join, no exemption needed.
   // q512_single_linkage crossJoins a 1-row order-statistic cut, but needs no
