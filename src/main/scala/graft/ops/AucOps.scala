@@ -32,10 +32,12 @@ object AucOps {
             .otherwise(0L).as("y"))
         .groupBy(col("c"))
         .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-      val w = Window.orderBy(col("c"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = census
-        .withColumn("cum", sum(col("cnt")).over(w))
+        .localCheckpoint() // size probe + prefix pass share one pass
+      // cents-census prefix counts, size-adaptive (r15); rank column
+      // renamed away from the 'pos' (positives) output column
+      val ranked = Spine.adaptiveRank(census, Seq(col("c")), Seq("cnt"),
+          rankCol = "__rk")
+        .withColumnRenamed("cum_cnt", "cum")
         .select(col("pos"), col("cnt"),
           // 2·midrank of every row in this tie group
           (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1).as("mr2"))

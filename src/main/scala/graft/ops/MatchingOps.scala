@@ -34,15 +34,18 @@ object MatchingOps {
           Seq("ck"), "left")
         .withColumn("y", coalesce(col("yd").cast("double"), lit(0.0)))
         .localCheckpoint() // sort pass + report pass
-      val wUp = Window.orderBy(col("x"), col("ck"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wDown = Window.orderBy(col("x").desc, col("ck").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ctl = when(col("z") === 0,
         struct(col("x").as("cx"), col("ck").as("cck"), col("y").as("cy")))
-      val paired = units
-        .withColumn("below", last(ctl, ignoreNulls = true).over(wUp))
-        .withColumn("above", last(ctl, ignoreNulls = true).over(wDown))
+      // nearest-control carries, size-adaptive (r15): running
+      // last(ignoreNulls) windows at bench scale, the two-pass
+      // range-partitioned carry above; probe scans the checkpoint once
+      val nU = units.count()
+      val paired = Spine.adaptiveCarry(
+          Spine.adaptiveCarry(units.withColumn("__ctl", ctl),
+            Seq(col("x"), col("ck")), "__ctl", "below", knownCount = nU),
+          Seq(col("x").desc, col("ck").desc), "__ctl", "above",
+          knownCount = nU)
+        .drop("__ctl")
         .where(col("z") === 1)
         .withColumn("d_below", abs(col("x") - col("below.cx")))
         .withColumn("d_above", abs(col("x") - col("above.cx")))

@@ -94,16 +94,17 @@ object OrderedAltOps {
       val cells = o.groupBy(col("g"), col("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint() // 5 running windows + moment passes
-      val wV = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // per distinct value: running count per group (strictly below via
-      // a second frame), k = 5 group columns
+      // per distinct value: running count per group (strictly below =
+      // inclusive − own), all five prefixes in ONE size-adaptive pass
+      // over the value spine (r15)
       val gSums = (1L to 5L).map(gg =>
         sum(when(col("g") === gg, col("c")).otherwise(0L)).as(s"c$gg"))
       val vSpine = cells.groupBy(col("v"))
         .agg(gSums.head, gSums.tail: _*)
-      val withPrefix = (1L to 5L).foldLeft(vSpine) { (df, gg) =>
-        df.withColumn(s"le$gg", sum(col(s"c$gg")).over(wV))
+      val withPrefix = (1L to 5L).foldLeft(
+        Spine.adaptiveRank(vSpine, Seq(col("v")),
+          (1L to 5L).map(gg => s"c$gg"), rankCol = "__rk")) { (df, gg) =>
+        df.withColumn(s"le$gg", col(s"cum_c$gg"))
           .withColumn(s"lt$gg", col(s"le$gg") - col(s"c$gg"))
       }
       val d38 = DecimalType(38, 0)

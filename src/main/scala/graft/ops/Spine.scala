@@ -162,6 +162,61 @@ object Spine {
     } else prefixSpine(df, ord, sumCols, rankCol)
   }
 
+  /** Two-pass range-partitioned forward carry — the sequential-scan
+    * sibling of [[prefixSpine]] for `last(col, ignoreNulls)` over a
+    * global order: pass 1 collects each partition's LAST non-null value
+    * (one row per partition — model-sized), the exclusive carry-in per
+    * partition is computed on the driver and broadcast, pass 2 streams
+    * each partition once seeding the carry. Inclusive of the current
+    * row, exactly the window form. Any value type (structs included). */
+  def carryForward(df: DataFrame, ord: Seq[Column], valueCol: String,
+                   outCol: String, width: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1,
+      if (width > 0) width
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val parted = df.repartitionByRange(n, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .localCheckpoint() // pin the sampled range boundaries across passes
+    val schema = parted.schema
+    val vi = schema.fieldIndex(valueCol)
+    val lasts = parted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var last: Any = null
+      it.foreach { r => if (!r.isNullAt(vi)) last = r.get(vi) }
+      Iterator((i, last))
+    }.collect().sortBy(_._1)
+    val carryIn = new Array[Any](n)
+    var cur: Any = null
+    lasts.foreach { case (i, l) => carryIn(i) = cur; if (l != null) cur = l }
+    val bc = spark.sparkContext.broadcast(carryIn)
+    val outSchema = StructType(schema.fields :+
+      StructField(outCol, schema(vi).dataType, nullable = true))
+    val rows = parted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var carry: Any = bc.value(i)
+      it.map { r =>
+        if (!r.isNullAt(vi)) carry = r.get(vi)
+        Row.fromSeq(r.toSeq :+ carry)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Size-adaptive forward carry: the classic running
+    * `last(ignoreNulls)` window at or below `threshold` rows,
+    * [[carryForward]] above — identical output either way. */
+  def adaptiveCarry(df: DataFrame, ord: Seq[Column], valueCol: String,
+                    outCol: String, threshold: Long = 8000000L,
+                    knownCount: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, last}
+    val n = if (knownCount >= 0) knownCount else df.count()
+    if (n <= threshold)
+      df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(
+        Window.orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    else carryForward(df, ord, valueCol, outCol)
+  }
+
   /** Exact ANSI `ntile(k)` from a spine rank: with n = qk + r, the
     * first r buckets take q+1 rows, the rest q — so ntile over a
     * corpus-growing frame becomes [[prefixSpine]] + this pure

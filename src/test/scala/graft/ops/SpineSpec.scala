@@ -103,6 +103,23 @@ class SpineSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("adaptiveCarry: spine path == window path (struct carry, nulls " +
+       "across partition boundaries)") {
+    val df = spark.range(900)
+      .select(expr("id * 11 % 900").as("k"),
+        when(pmod(col("id"), lit(17)) === 0,
+          struct(col("id").as("a"), (col("id") * 2).as("b"))).as("v"))
+      .repartition(7)
+    val ord = Seq(col("k"))
+    val win = Spine.adaptiveCarry(df, ord, "v", "carried")
+    val spn = Spine.adaptiveCarry(df, ord, "v", "carried", threshold = 40)
+    val a = win.orderBy(col("k")).collect().map(_.toSeq).toSeq
+    val b = spn.orderBy(col("k")).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // sanity: some carried values are non-null after the first marker
+    assert(a.count(_.last != null) > 800)
+  }
+
   test("q563 physical plan carries no window operator at all") {
     withStaticPlan {
       val plan = HeapsOps.q563HeapsLaw.fn(spark, sfDir)
