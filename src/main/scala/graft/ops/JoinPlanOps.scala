@@ -188,18 +188,26 @@ object JoinPlanOps {
       // value block [lo, hi] (1-based ranks) is avg over the block of
       // min(rank, N+1-rank); 2*score stays integer only without ties, so
       // we carry 4*score = sum over the block bounds closed form
-      val ranked = o
-        .withColumn("r2", (rank().over(Window.orderBy(col("v"))) * 2
-          + count(lit(1)).over(Window.partitionBy(col("v"))) - 1)
+      // tie midranks from the VALUE CENSUS (r15): competition rank =
+      // exclusive prefix + 1, so 2·midrank = 2·cum − cnt + 1 — the
+      // whole rank pass is a size-adaptive prefix sum over distinct
+      // values, never a window over the raw order frame; moments fold
+      // the census row weights in (Σ_rows f(r2) = Σ_v cnt_v·f(r2(v)))
+      val cells = o.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"), sum(col("g")).as("cnt1"))
+      val ranked = Spine.adaptiveRank(cells, Seq(col("v")), Seq("cnt"),
+          rankCol = "__rk")
+        .withColumn("r2", (lit(2L) * col("cum_cnt") - col("cnt") + 1)
           .cast("long")) // 2*midrank
         .crossJoin(broadcast(nRow))
         // 2*score via midrank: s = min(mr, N+1-mr) on the half-unit grid
         .withColumn("s2", least(col("r2"), (col("nn") + 1) * 2 - col("r2")))
       val mom = ranked.agg(
         max(col("nn")).as("nn"), max(col("m1")).as("m1"),
-        sum(when(col("g") === 1, col("s2")).otherwise(0L)).as("ab2"),
-        sum(col("s2").cast(DecimalType(38, 0))).as("ss2"),
-        sum((col("s2") * col("s2")).cast(DecimalType(38, 0))).as("ss22"))
+        sum(col("cnt1") * col("s2")).as("ab2"),
+        sum(col("s2").cast(DecimalType(38, 0)) * col("cnt")).as("ss2"),
+        sum((col("s2") * col("s2")).cast(DecimalType(38, 0)) * col("cnt"))
+          .as("ss22"))
       mom
         .withColumn("n2", col("nn") - col("m1"))
         .withColumn("sbar2", col("ss2").cast("double") / col("nn"))
