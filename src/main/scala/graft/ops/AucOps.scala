@@ -32,11 +32,14 @@ object AucOps {
             .otherwise(0L).as("y"))
         .groupBy(col("c"))
         .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-        .localCheckpoint() // size probe + prefix pass share one pass
       // cents-census prefix counts, size-adaptive (r15); rank column
-      // renamed away from the 'pos' (positives) output column
+      // renamed away from the 'pos' (positives) output column.
+      // r15-opt: the probe is a metadata-cheap |orders| upper bound on
+      // the census (≤ one row per distinct cents value), so the census
+      // is computed once in the prefix pass — no checkpoint, no count
+      // job.
       val ranked = Spine.adaptiveRank(census, Seq(col("c")), Seq("cnt"),
-          rankCol = "__rk")
+          rankCol = "__rk", knownCount = Tables(s, dir).orders.count())
         .withColumnRenamed("cum_cnt", "cum")
         .select(col("pos"), col("cnt"),
           // 2·midrank of every row in this tie group

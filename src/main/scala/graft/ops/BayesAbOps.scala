@@ -48,14 +48,14 @@ object BayesAbOps {
           (col("rb") + 1).as("ab"), (col("nb") - col("rb") + 1).as("bb"),
           col("na"), col("ra"), col("nb"), col("rb"))
         .localCheckpoint() // spine + sweep + report passes
-      // ln-factorial spine up to aa+ba+ab+bb
-      val spine = params
-        .select(explode(sequence(lit(1L),
-          col("aa") + col("ba") + col("ab") + col("bb"))).as("j"))
-        .withColumn("lf",
-          sum(round(log(col("j").cast("double")), 9)
-            .cast(DecimalType(38, 9))).over(Window.orderBy(col("j"))))
-        .select(col("j"), col("lf").cast("double").as("lf"))
+      // ln-factorial spine up to aa+ba+ab+bb. r15: distributed exact
+      // ladder replaces the single-partition window + single-task
+      // explode (length grows with the corpus); bit-identical by the
+      // DECIMAL-prefix argument on Spine.lnFactorialLadder. Length
+      // probe = one head() on the 1-row checkpointed params frame.
+      val spine = Spine.lnFactorialLadder(s, params
+          .select((col("aa") + col("ba") + col("ab") + col("bb")).as("len"))
+          .head().getLong(0))
         .localCheckpoint() // probed five times by the sweep
       def lfOf(keyCol: String, out: String) =
         spine.select(col("j").as(keyCol), col("lf").as(out))

@@ -53,13 +53,15 @@ object FisherOps {
         .withColumn("lo", greatest(lit(0L), col("r1") + col("c1") - col("n")))
         .withColumn("hi", least(col("r1"), col("c1")))
         .localCheckpoint() // spine pass + k-sweep pass + report pass
-      // ln-factorial spine j = 1..n (lf(0) = 0 via coalesce at use)
-      val spine = cells
-        .select(explode(sequence(lit(1L), col("n"))).as("j"))
-        .withColumn("lf",
-          sum(round(log(col("j").cast("double")), 9)
-            .cast(DecimalType(38, 9))).over(Window.orderBy(col("j"))))
-        .select(col("j"), col("lf").cast("double").as("lf"))
+      // ln-factorial spine j = 1..n (lf(0) = 0 via coalesce at use).
+      // r15: was explode(sequence(1,n)) + a single-partition running
+      // window — n grows with the corpus, so both the explode task and
+      // the window serialized the ladder; now the distributed exact
+      // ladder (Spine.lnFactorialLadder), bit-identical by the DECIMAL
+      // prefix argument. The length probe reads the 1-row checkpointed
+      // cells frame — model-sized.
+      val spine = Spine
+        .lnFactorialLadder(s, cells.select(col("n")).head().getLong(0))
         .localCheckpoint() // probed three times by the k-sweep
       def lfOf(keyCol: String, out: String) =
         spine.select(col("j").as(keyCol), col("lf").as(out))

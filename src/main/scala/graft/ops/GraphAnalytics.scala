@@ -192,12 +192,16 @@ object GraphAnalytics {
     "q104_rrf_fusion",
     (s, dir) => {
       // both full input rankings size-adaptive (r15): window at bench
-      // scale, spine above; score frames checkpoint once so the probe
-      // scans cached blocks
-      val bmScores = CurationOps.q91Bm25.fn(s, dir).localCheckpoint()
-      val bm = Spine.adaptiveRank(bmScores,
+      // scale, spine above. r15-opt: the probe is ONE shared parquet
+      // row count of documents — an upper bound on both rank frames
+      // (each is ≤ one row per doc), so the physical window-vs-spine
+      // choice stays safe while the two score-frame localCheckpoints
+      // and per-frame count jobs the first rewrite added are gone
+      // (measured +0.3–0.4 s at sf0.1; see OPTIMIZATION_r15.md).
+      val nDocsBound = Tables(s, dir).documents.count()
+      val bm = Spine.adaptiveRank(CurationOps.q91Bm25.fn(s, dir),
           Seq(col("bm25").desc, col("doc_id").asc),
-          rankCol = "r_bm25", knownCount = bmScores.count())
+          rankCol = "r_bm25", knownCount = nDocsBound)
         .select(col("doc_id"), col("r_bm25"))
       val ttrScores = Tables(s, dir).documents
         .withColumn("toks", TextOps.tokens(col("text")))
@@ -206,10 +210,9 @@ object GraphAnalytics {
           size(array_distinct(col("toks"))).cast("double") /
             size(col("toks")).cast("double"), 9))
         .select(col("doc_id"), col("ttr"))
-        .localCheckpoint()
       val ttr = Spine.adaptiveRank(ttrScores,
           Seq(col("ttr").desc, col("doc_id").asc),
-          rankCol = "r_ttr", knownCount = ttrScores.count())
+          rankCol = "r_ttr", knownCount = nDocsBound)
         .select(col("doc_id"), col("r_ttr"))
       bm.join(ttr, Seq("doc_id"), "full_outer")
         .withColumn("rrf", round(

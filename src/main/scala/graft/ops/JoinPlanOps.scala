@@ -182,8 +182,6 @@ object JoinPlanOps {
       val o = Tables(s, dir).orders
         .select(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
           .as("g"), col("o_totalprice").cast(DecimalType(18, 2)).as("v"))
-        .localCheckpoint() // rank pass + moment pass
-      val nRow = o.agg(count(lit(1)).as("nn"), sum(col("g")).as("m1"))
       // both-ends midrank scores, doubled for exactness: the score of a
       // value block [lo, hi] (1-based ranks) is avg over the block of
       // min(rank, N+1-rank); 2*score stays integer only without ties, so
@@ -195,8 +193,16 @@ object JoinPlanOps {
       // the census row weights in (Σ_rows f(r2) = Σ_v cnt_v·f(r2(v)))
       val cells = o.groupBy(col("v"))
         .agg(count(lit(1)).as("cnt"), sum(col("g")).as("cnt1"))
+        .localCheckpoint() // rank pass + the N/m1 fold below
+      // r15-opt: N and m1 fold the census weights (Σcnt, Σcnt1 — exact
+      // integers, identical to counting the raw order frame), so the
+      // raw frame is scanned ONCE for the census; the window-vs-spine
+      // probe is a metadata-cheap |orders| upper bound on |cells|
+      // instead of re-running the census aggregation (the first
+      // rewrite's probe: measured 0.72 s vs the 0.25 s floor at sf0.1).
+      val nRow = cells.agg(sum(col("cnt")).as("nn"), sum(col("cnt1")).as("m1"))
       val ranked = Spine.adaptiveRank(cells, Seq(col("v")), Seq("cnt"),
-          rankCol = "__rk")
+          rankCol = "__rk", knownCount = Tables(s, dir).orders.count())
         .withColumn("r2", (lit(2L) * col("cum_cnt") - col("cnt") + 1)
           .cast("long")) // 2*midrank
         .crossJoin(broadcast(nRow))

@@ -254,11 +254,29 @@ object LongMemoryOps {
     s"(m_${lo}_$hi - m_$lo * m_$hi / mn)"
   }
 
+  /** cm() rendered as a pre-computed column reference — the Spark-side
+    * twin of [[cm]]: same value, but evaluated once in a dedicated
+    * projection so the determinant expansions reference slim columns
+    * instead of re-inlining the centered-moment arithmetic ~2500 times
+    * (r15: the inlined form's generated `generate_doConsume` exceeded
+    * janino's 64 KB method limit and silently fell back to interpreted
+    * evaluation — see OPTIMIZATION_r15.md). */
+  private def cmRef(a: String, b: String): String = {
+    val (lo, hi) =
+      if (Vars.indexOf(a) <= Vars.indexOf(b)) (a, b) else (b, a)
+    s"cm_${lo}_$hi"
+  }
+
   /** One direction's F-statistic expressions: target w regressed on its
     * own two lags (restricted) and + the other series' two lags
-    * (unrestricted), everything centered so no intercept column. */
-  private def grangerExprs(w: String, own: Seq[String], other: Seq[String])
+    * (unrestricted), everything centered so no intercept column.
+    * `cmF` renders a centered moment — [[cm]] inlines the arithmetic
+    * (the oracle's form), [[cmRef]] references the hoisted column (the
+    * Spark plan's form); the evaluated double tree is identical. */
+  private def grangerExprs(w: String, own: Seq[String], other: Seq[String],
+      cmF: (String, String) => String = cm)
       : (String, String) = {
+    def cm(a: String, b: String): String = cmF(a, b)
     val regs = own ++ other
     val aU = regs.map(a => regs.map(b => cm(a, b)))
     val bU = regs.map(a => cm(a, w))
@@ -318,12 +336,31 @@ object LongMemoryOps {
             i <- Vars.indices; j <- i until Vars.length
           } yield col(s"r_${Vars(i)}_${Vars(j)}").cast("double")
             .as(s"m_${Vars(i)}_${Vars(j)}")): _*)
-      val (sseU1, sseR1) = grangerExprs("y", Seq("y1", "y2"), Seq("x1", "x2"))
-      val (sseU2, sseR2) = grangerExprs("x", Seq("x1", "x2"), Seq("y1", "y2"))
+      // r15 codegen fix: hoist the 21 centered moments, then the four
+      // SSE determinants, into their own projections. The arithmetic
+      // tree is unchanged (each hoisted column evaluates exactly the
+      // expression the inline form evaluated, once); what changes is
+      // the generated code shape — the explode's consume method now
+      // reads 8 slim columns instead of re-expanding ~10k double ops,
+      // which was past janino's 64 KB method cap and forced interpreted
+      // fallback for the whole final stage.
+      val cmCols = for {
+        i <- Vars.indices; j <- i until Vars.length
+      } yield expr(cm(Vars(i), Vars(j))).as(cmRef(Vars(i), Vars(j)))
+      val momCm = mom.select(Seq(col("n_obs"), col("mn")) ++ cmCols: _*)
+      val (sseU1, sseR1) =
+        grangerExprs("y", Seq("y1", "y2"), Seq("x1", "x2"), cmRef)
+      val (sseU2, sseR2) =
+        grangerExprs("x", Seq("x1", "x2"), Seq("y1", "y2"), cmRef)
+      val sse = momCm.select(col("n_obs"), col("mn"),
+        expr(sseU1).as("su_cr"), expr(sseR1).as("sr_cr"),
+        col(cmRef("y", "y")).as("sww_cr"),
+        expr(sseU2).as("su_rc"), expr(sseR2).as("sr_rc"),
+        col(cmRef("x", "x")).as("sww_rc"))
       val dirs = Seq(
-        ("counts_to_revenue", sseU1, sseR1, cm("y", "y")),
-        ("revenue_to_counts", sseU2, sseR2, cm("x", "x")))
-      mom.select(col("n_obs"), explode(array(dirs.map {
+        ("counts_to_revenue", "su_cr", "sr_cr", "sww_cr"),
+        ("revenue_to_counts", "su_rc", "sr_rc", "sww_rc"))
+      sse.select(col("n_obs"), explode(array(dirs.map {
         case (nm, su, sr, sww) =>
           struct(lit(nm).as("direction"),
             expr(s"round(1.0 - $su / $sww, 6)").as("r2_unrestricted"),

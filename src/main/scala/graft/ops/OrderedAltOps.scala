@@ -101,9 +101,13 @@ object OrderedAltOps {
         sum(when(col("g") === gg, col("c")).otherwise(0L)).as(s"c$gg"))
       val vSpine = cells.groupBy(col("v"))
         .agg(gSums.head, gSums.tail: _*)
+      // r15-opt: the probe is a metadata-cheap |orders| upper bound on
+      // the value spine (≤ one row per distinct price) instead of
+      // re-running the spine aggregation
       val withPrefix = (1L to 5L).foldLeft(
         Spine.adaptiveRank(vSpine, Seq(col("v")),
-          (1L to 5L).map(gg => s"c$gg"), rankCol = "__rk")) { (df, gg) =>
+          (1L to 5L).map(gg => s"c$gg"), rankCol = "__rk",
+          knownCount = Tables(s, dir).orders.count())) { (df, gg) =>
         df.withColumn(s"le$gg", col(s"cum_c$gg"))
           .withColumn(s"lt$gg", col(s"le$gg") - col(s"c$gg"))
       }
@@ -119,12 +123,15 @@ object OrderedAltOps {
         }: _*)
         .agg(sum(((2L to 5L).map(j => col(s"t$j")).reduce(_ + _)).cast(d38))
           .as("jt2"))
-      val mom = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      // r15-opt: group sizes and tie profiles fold the (g, v) census
+      // weights (Σc — exact integers, identical to re-counting the raw
+      // frame), so orders is scanned once total instead of three times
+      val mom = cells.groupBy(col("g")).agg(sum(col("c")).as("n"))
         .agg(sum(col("n")).as("nn"),
           sum(col("n") * (col("n") - 1)).as("s2"),
           sum(col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)).as("s25"),
           sum(col("n") * (col("n") - 1) * (col("n") - 2)).as("s3"))
-      val ties = o.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      val ties = cells.groupBy(col("v")).agg(sum(col("c")).as("t"))
         .agg(sum(col("t") * (col("t") - 1)).as("t2"),
           sum((col("t") * (col("t") - 1)).cast(d38)
             * (lit(2L) * col("t") + 5)).as("t25"),

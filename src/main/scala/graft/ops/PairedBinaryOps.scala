@@ -60,14 +60,13 @@ object PairedBinaryOps {
         .withColumn("m", least(col("n01"), col("n10")))
         .localCheckpoint() // spine pass + k-sweep pass + report pass
       // ln-factorial spine over j = 1..nd: running DECIMAL sum of
-      // round(ln j, 9) — order-proof by construction
-      val spine = cells
-        .select(explode(sequence(lit(1L), greatest(col("nd"), lit(1L))))
-          .as("j"))
-        .withColumn("lf",
-          sum(round(log(col("j").cast("double")), 9)
-            .cast(DecimalType(38, 9))).over(Window.orderBy(col("j"))))
-        .select(col("j"), col("lf").cast("double").as("lf"))
+      // round(ln j, 9) — order-proof by construction. r15: distributed
+      // exact ladder (Spine.lnFactorialLadder) replaces the
+      // single-partition window + single-task explode; length/nd probed
+      // from the 1-row checkpointed cells frame.
+      val cRow = cells
+        .select(greatest(col("nd"), lit(1L)).as("len"), col("nd")).head()
+      val spine = Spine.lnFactorialLadder(s, cRow.getLong(0))
       // exact binomial tail: P(X <= m), X ~ Bin(nd, 1/2)
       val ks = cells.select(col("nd"), col("m"),
         explode(sequence(lit(0L), col("m"))).as("k"))
@@ -78,8 +77,12 @@ object PairedBinaryOps {
         .withColumn("jnk", col("nd") - col("k"))
         .join(spine.select(col("j").as("jnk"), col("lf").as("lfnk_")),
           Seq("jnk"), "left")
-        .join(broadcast(spine.select(col("j").as("nd"),
-          col("lf").as("lfn_"))), Seq("nd"), "left")
+        // lf(nd) is ONE ladder row — broadcast just it, not the whole
+        // (corpus-coupled) ladder, which the old shape shipped to every
+        // executor
+        .join(broadcast(spine.where(col("j") === cRow.getLong(1))
+          .select(col("j").as("nd"), col("lf").as("lfn_"))),
+          Seq("nd"), "left")
         .withColumn("term", round(exp(
           coalesce(col("lfn_"), lit(0.0))
             - coalesce(col("lfk"), lit(0.0))

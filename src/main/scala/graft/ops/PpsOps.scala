@@ -38,13 +38,27 @@ object PpsOps {
           col("p_retailprice").cast(DecimalType(18, 2)).as("w"),
           col("p_size").cast("long").as("size"))
         .withColumn("h", md5Long(concat(lit("pps|"), col("part"))))
-      val wOrd = Window.orderBy(col("h"), col("part"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val totals = p.agg(sum(col("w")).as("w_tot")).head()
+        // exact cents: DECIMAL(18,2) × 100 is integral, so the cumulative
+        // weight line can ride the BIGINT prefix spine at scale
+        .withColumn("w_c", (col("w") * 100).cast("long"))
+      // ONE totals action carries the weight total, the true-size total
+      // (previously a second driver action) and the frame count (the
+      // window-vs-spine probe — previously free only in theory):
+      // three scalars, one scan
+      val totals = p.agg(sum(col("w")).as("w_tot"),
+        sum(col("size")).as("size_tot"), count(lit(1)).as("n")).head()
       val wTot = totals.getDecimal(0).doubleValue()
       val step = wTot / N
-      val cum = p
-        .withColumn("cum", sum(col("w")).over(wOrd).cast("double"))
+      val nParts = totals.getLong(2)
+      // r15: the cumulative-weight line over a frame that grows with the
+      // corpus (parts) — was Window.orderBy(h, part) with no partition
+      // clause (Exchange SinglePartition); now size-adaptive: classic
+      // window at bench scale, range-partitioned prefix spine above 8M
+      // rows. cum_w_c/100.0 ≡ cast(SUM(DECIMAL w) AS DOUBLE): both
+      // correctly round the same rational (cents sums stay < 2^53).
+      val cum = Spine.adaptiveRank(p, Seq(col("h"), col("part")),
+          sumCols = Seq("w_c"), knownCount = nParts)
+        .withColumn("cum", col("cum_w_c") / lit(100.0))
         .withColumn("cum_prev", col("cum") - col("w").cast("double"))
         .withColumn("mult",
           (floor(col("cum") / step) - floor(col("cum_prev") / step))
@@ -56,7 +70,7 @@ object PpsOps {
         .withColumn("ht_term",
           round(col("mult") * col("size").cast("double") /
             (col("w").cast("double") / step), 6))
-      val trueSize = p.agg(sum(col("size"))).head().getLong(0)
+      val trueSize = totals.getLong(1)
       val w0 = Window.partitionBy()
       sampled
         .withColumn("n_draws", sum(col("mult")).over(w0))

@@ -148,18 +148,28 @@ object Spine {
   def adaptiveRank(df: DataFrame, ord: Seq[Column],
                    sumCols: Seq[String] = Nil, rankCol: String = "pos",
                    threshold: Long = 8000000L,
-                   knownCount: Long = -1L): DataFrame = {
+                   knownCount: Long = -1L,
+                   totalCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number, sum}
+    import org.apache.spark.sql.functions.{col, count, lit, row_number, sum}
     val n = if (knownCount >= 0) knownCount else df.count()
     if (n <= threshold) {
       val w = Window.orderBy(ord: _*)
       val ranked = df.withColumn(rankCol, row_number().over(w).cast("long"))
-      sumCols.foldLeft(ranked) { (d, c) =>
+      val summed = sumCols.foldLeft(ranked) { (d, c) =>
         d.withColumn(s"cum_$c", sum(col(c)).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       }
-    } else prefixSpine(df, ord, sumCols, rankCol)
+      // totalCol rides the window path as a whole-frame count window
+      // (same exchange the rank already established) — callers that
+      // need |frame| as a VALUE (quantile cuts, shares) get it without
+      // a separate count job; the spine path emits it for free.
+      totalCol match {
+        case Some(c) => summed.withColumn(c,
+          count(lit(1)).over(Window.partitionBy()))
+        case None => summed
+      }
+    } else prefixSpine(df, ord, sumCols, rankCol, totalCol = totalCol)
   }
 
   /** Two-pass range-partitioned forward carry — the sequential-scan
@@ -215,6 +225,69 @@ object Spine {
         Window.orderBy(ord: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     else carryForward(df, ord, valueCol, outCol)
+  }
+
+  /** Exact ln-factorial ladder 1..n as (j BIGINT, lf DOUBLE) with
+    * lf(j) = cast(Σ_{i≤j} round(ln i, 9)::DECIMAL(38,9) AS DOUBLE) —
+    * bit-identical to the classic
+    * `explode(sequence(1,n)) + SUM(DECIMAL) OVER (ORDER BY j)` ladder
+    * (the DECIMAL prefix is exact arithmetic in both forms, and the
+    * final double cast correctly rounds the same rational), but with
+    * NO single-partition window and NO single-task explode: the ladder
+    * is generated distributed (`spark.range`), each term is computed in
+    * a Catalyst projection (same `round(log(j),9)` semantics), and the
+    * prefix runs as the two-pass scan — per-partition exact BigDecimal
+    * totals to the driver (one row per partition, model-sized), offsets
+    * broadcast, one streamed pass. The Fisher/Beta/binomial-tail family
+    * (q437/q456/q435) probes this ladder by point joins; its length is
+    * corpus-coupled (cell counts), which is exactly why the
+    * single-partition forms had to go. */
+  def lnFactorialLadder(spark: org.apache.spark.sql.SparkSession,
+                        n: Long,
+                        threshold: Long = 8000000L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, log, round, sum}
+    import org.apache.spark.sql.types.DecimalType
+    if (n <= threshold) {
+      // bench-scale path: ONE tiny window sort — the distributed ladder
+      // measured ~0.3 s SLOWER per query at sf0.1 (4 extra jobs:
+      // checkpoint, totals collect, broadcast, scan) for frames a single
+      // task sorts in milliseconds; same adaptive discipline as
+      // adaptiveRank, same bit-identical guarantee (the DECIMAL prefix
+      // sum is exact arithmetic in both forms)
+      import org.apache.spark.sql.expressions.Window
+      return spark.range(1L, n + 1L).toDF("j")
+        .withColumn("lf",
+          sum(round(log(col("j").cast("double")), 9)
+            .cast(DecimalType(38, 9))).over(Window.orderBy(col("j"))))
+        .select(col("j"), col("lf").cast("double").as("lf"))
+    }
+    val parted = spark.range(1L, n + 1L).toDF("j")
+      .withColumn("term",
+        round(log(col("j").cast("double")), 9).cast(DecimalType(38, 9)))
+      .localCheckpoint() // pin layout across the totals + scan passes
+    val ji = parted.schema.fieldIndex("j")
+    val ti = parted.schema.fieldIndex("term")
+    val partials = parted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = java.math.BigDecimal.ZERO
+      it.foreach { r => s = s.add(r.getDecimal(ti)) }
+      Iterator((i, s))
+    }.collect().sortBy(_._1)
+    val offs = new Array[java.math.BigDecimal](math.max(partials.length, 1))
+    var run = java.math.BigDecimal.ZERO
+    partials.foreach { case (i, s) => offs(i) = run; run = run.add(s) }
+    val bc = spark.sparkContext.broadcast(offs)
+    val outSchema = StructType(Seq(
+      StructField("j", LongType, nullable = false),
+      StructField("lf_dec", DecimalType(38, 9), nullable = true)))
+    val rows = parted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bc.value(i)
+      it.map { r =>
+        cum = cum.add(r.getDecimal(ti))
+        Row(r.getLong(ji), cum)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .select(col("j"), col("lf_dec").cast("double").as("lf"))
   }
 
   /** Exact ANSI `ntile(k)` from a spine rank: with n = qk + r, the

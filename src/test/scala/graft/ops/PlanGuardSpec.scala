@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q93_power_iteration_pca"  -> 1,
     "q94_bigram_perplexity"    -> 1,
     "q99_embedding_outliers"   -> 1,
+    "q104_rrf_fusion"          -> 1,   // q91's 1-row stats, re-exposed r15-opt
     "q114_chi2_keyness"        -> 1,
     "q122_association_rules"   -> 1,
     "q127_hll_users"           -> 1,
@@ -259,9 +260,11 @@ class PlanGuardSpec extends SparkTestBase {
     "q93_power_iteration_pca", // 1-row norm scalar broadcast per iteration
     "q94_bigram_perplexity",   // 1-row vocabulary-size broadcast
     "q99_embedding_outliers",  // 1-row (n, Σd, Σd²) moments broadcast
-    // q104_rrf_fusion dropped r15: the input score frames localCheckpoint
-    // before ranking, which truncates q91's broadcast out of the final
-    // plan (the q253/q372 truncation case below)
+    "q104_rrf_fusion",  // inherits q91's 1-row (n_docs, avgdl) broadcast
+                        // again since the r15-opt pass dropped the score
+                        // frames' localCheckpoints (they cost a
+                        // materialization + count job per frame; the
+                        // probe is now a metadata |documents| bound)
     "q114_chi2_keyness",       // 1-row corpus token count broadcast (was a driver-side count)
     "q122_association_rules",  // 1-row order count broadcast (was a driver-side count)
     "q127_hll_users",          // 1-row union-of-sketches estimate broadcast

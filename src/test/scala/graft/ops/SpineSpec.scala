@@ -96,11 +96,13 @@ class SpineSpec extends SparkTestBase {
       .select(expr("id * 7 % 500").as("k"), (pmod(col("id"), lit(5)) + 1).as("v"))
       .repartition(6)
     val ord = Seq(col("k"))
-    val win = Spine.adaptiveRank(df, ord, Seq("v"))
-    val spn = Spine.adaptiveRank(df, ord, Seq("v"), threshold = 50)
+    val win = Spine.adaptiveRank(df, ord, Seq("v"), totalCol = Some("n"))
+    val spn = Spine.adaptiveRank(df, ord, Seq("v"), threshold = 50,
+      totalCol = Some("n"))
     val a = win.orderBy(col("k")).collect().map(_.toSeq).toSeq
     val b = spn.orderBy(col("k")).collect().map(_.toSeq).toSeq
     assert(a == b)
+    assert(a.forall(_.last == 500L), "totalCol must be the frame count")
   }
 
   test("adaptiveCarry: spine path == window path (struct carry, nulls " +
@@ -118,6 +120,19 @@ class SpineSpec extends SparkTestBase {
     assert(a == b)
     // sanity: some carried values are non-null after the first marker
     assert(a.count(_.last != null) > 800)
+  }
+
+  test("lnFactorialLadder: distributed path == window path, exact") {
+    Seq(1L, 2L, 7L, 1000L, 4099L).foreach { n =>
+      val got = Spine.lnFactorialLadder(spark, n, threshold = 0L)
+        .orderBy(col("j")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val want = Spine.lnFactorialLadder(spark, n) // window path (n ≤ 8M)
+        .orderBy(col("j")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == want.toSeq, s"ladder mismatch at n=$n")
+    }
+    // and the above-threshold ladder stays distributed
+    assert(Spine.lnFactorialLadder(spark, 4099L, threshold = 0L)
+      .rdd.getNumPartitions > 1)
   }
 
   test("q563 physical plan carries no window operator at all") {
