@@ -22,16 +22,12 @@ object LinkOps {
     "q262_link_prediction",
     (s, dir) => {
       val decA = DecimalType(28, 12)
-      val li = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("pa"), col("pb"))
-        .localCheckpoint() // feeds neighbors, degrees, and the anti-join
+      // r15-opt: the inline edge build was byte-for-byte the shared
+      // co-purchase DISTINCT definition — read the GraphBase derived
+      // table (a plain parquet leaf scan, already materialized by the
+      // graph family) instead of rebuilding the self-join + support
+      // filter; feeds neighbors, degrees, and the anti-join unchanged
+      val edges = GraphBase.coPurchaseEdgesDistinct(s, dir)
       val und = edges.select(col("pa").as("n"), col("pb").as("m"))
         .union(edges.select(col("pb").as("n"), col("pa").as("m")))
       val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))

@@ -55,17 +55,33 @@ object SeedOps {
         .select(col("vec_id").as("seed_id"), col("embedding").as("s_emb"),
           lit(0L).as("round"), lit(0.0).as("sel_radius"))
         .localCheckpoint()
+      // r15-opt: carry each point's running min-distance instead of
+      // recomputing it against the WHOLE seed set every round — round r
+      // evaluates |emb| distances to the ONE new seed and folds them
+      // with least(), not r·|emb| distances (15 corpus passes of sqL2
+      // down to 5; min over a set ≡ the incremental fold exactly, so
+      // every dmin, argmax and radius is bit-identical — oracle-pinned)
+      var cur = emb
+        .crossJoin(broadcast(seeds.select(col("s_emb"))))
+        .withColumn("dmin", sqL2("embedding", "s_emb"))
+        .select(col("vec_id"), col("embedding"), col("dmin"))
+        .localCheckpoint()
       for (r <- 1 to 5) {
-        val dmin = emb.crossJoin(broadcast(seeds.select(col("s_emb"))))
-          .withColumn("d", sqL2("embedding", "s_emb"))
-          .groupBy(col("vec_id")).agg(min(col("d")).as("dmin"))
-        val next = dmin
-          .join(emb, Seq("vec_id"))
+        val next = cur
           .select(max(struct(col("dmin"), (-col("vec_id")).as("nid"),
             col("embedding"))).as("m"))
           .select((-col("m.nid")).as("seed_id"), col("m.embedding").as("s_emb"),
             lit(r.toLong).as("round"), round(col("m.dmin"), 9).as("sel_radius"))
         seeds = seeds.unionByName(next).localCheckpoint()
+        if (r < 5) {
+          val newSeed = seeds.filter(col("round") === r.toLong)
+            .select(col("s_emb"))
+          cur = cur.crossJoin(broadcast(newSeed))
+            .withColumn("d2", sqL2("embedding", "s_emb"))
+            .select(col("vec_id"), col("embedding"),
+              least(col("dmin"), col("d2")).as("dmin"))
+            .localCheckpoint()
+        }
       }
       val assign = emb.crossJoin(broadcast(seeds.select(col("seed_id"), col("s_emb"))))
         .withColumn("d", sqL2("embedding", "s_emb"))
