@@ -502,6 +502,111 @@ object DecimalSqDist {
   }
 }
 
+/** In-row argmin over a candidate-centroid array: for each candidate
+  * struct (j, cv) in `right`, compute [[DecimalSqDist]](left, cv) and
+  * return struct(dist, j) of the candidate minimizing (dist, j) — exactly
+  * `min(struct(decimal_sqdist(sv, cv), j))` over a 16-way broadcast-join
+  * fan-out, with the identical struct ordering (null dist sorts FIRST,
+  * ascending, like Spark's interpreted struct ordering in `min`), so the
+  * q250/q251 Lloyd E-steps keep bit-identical assignments.
+  *
+  * Why: `min(struct(...))` over a struct is NOT hash-aggregable — Spark
+  * plans Sort + SortAggregate, i.e. a full sort of the corpus×|centroids|
+  * fan-out plus an Exchange per Lloyd phase (the measured top cost of the
+  * whole suite at r15: q251 4.46 s + q250 2.20 s). This expression folds
+  * the argmin into the projection: no fan-out rows, no sort, no exchange.
+  * Candidate j values are expected distinct (they are centroid ids); ties
+  * on equal dist break to the smaller j either way.
+  *
+  * Null contract: a null candidate ELEMENT is skipped (its join row would
+  * not exist); a null cv yields dist = null for that candidate, which
+  * WINS the min (struct ordering, nulls first) — same as the join form.
+  * A null left array nulls the whole result via nullSafeEval; callers
+  * (subVecs) can never produce one (explode of transform(null) drops the
+  * row in both the old and new shape). Empty candidate array → null. */
+case class DecimalSqDistArgmin(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", DecimalType(28, 14), nullable = true),
+    StructField("j", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val leftOk = left.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val rightOk = right.dataType match {
+      case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, ArrayType(DoubleType, _), _, _))), _) => true
+      case _ => false
+    }
+    if (leftOk && rightOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"decimal_sqdist_argmin requires (array<double>, array<struct<bigint, array<double>>>), " +
+          s"got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalSqDistArgmin.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.DecimalSqDistArgmin.compute($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DecimalSqDistArgmin =
+    copy(left = l, right = r)
+}
+
+object DecimalSqDistArgmin {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.Decimal
+
+  /** struct(dist, j) ordering of Spark's min over structs: dist ascending
+    * with nulls FIRST, then j ascending. Negative = (d1, j1) smaller. */
+  private def less(d1: Decimal, j1: Long, d2: Decimal, j2: Long): Boolean = {
+    val c =
+      if (d1 eq null) { if (d2 eq null) 0 else -1 }
+      else if (d2 eq null) 1
+      else d1.compare(d2)
+    if (c != 0) c < 0 else j1 < j2
+  }
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(v: ArrayData, cands: ArrayData): InternalRow = {
+    val n = cands.numElements()
+    var found = false
+    var bestDist: Decimal = null
+    var bestJ = 0L
+    var i = 0
+    while (i < n) {
+      if (!cands.isNullAt(i)) {
+        val c = cands.getStruct(i, 2)
+        val j = c.getLong(0)
+        val cv = if (c.isNullAt(1)) null else c.getArray(1)
+        val d = if (cv eq null) null else DecimalSqDist.compute(v, cv)
+        if (!found || less(d, j, bestDist, bestJ)) {
+          found = true
+          bestDist = d
+          bestJ = j
+        }
+      }
+      i += 1
+    }
+    if (!found) null
+    else new GenericInternalRow(Array[Any](bestDist, bestJ))
+  }
+}
+
 object VectorFunctions {
   /** Column-level API for [[VectorDot]]. */
   def vector_dot(a: Column, b: Column): Column =
@@ -535,6 +640,22 @@ object VectorFunctions {
   /** Column-level API for [[DecimalSqDist]]. */
   def decimal_sqdist(a: Column, b: Column): Column =
     ColumnBridge.column(DecimalSqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level API for [[DecimalSqDistArgmin]] — cands is
+    * array<struct<j: bigint, cv: array<double>>>, result struct(dist, j). */
+  def decimal_sqdist_argmin(v: Column, cands: Column): Column =
+    ColumnBridge.column(DecimalSqDistArgmin(ColumnBridge.expression(v), ColumnBridge.expression(cands)))
+
+  /** Column-level API for [[DecimalSqDistSkip]] (q405's join+SUM-semantics
+    * squared distance, DECIMAL(30,12) terms, result cast double). */
+  def decimal_sqdist_skip(a: Column, b: Column): Column =
+    ColumnBridge.column(DecimalSqDistSkip(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level API for [[DecimalVecWSum]] (q405's vector-at-a-time
+    * Weiszfeld re-center aggregate). */
+  def decimal_vec_wsum(values: Column, divisor: Column): Column =
+    ColumnBridge.column(DecimalVecWSum(ColumnBridge.expression(values),
+      ColumnBridge.expression(divisor)).toAggregateExpression())
 
   /** Column-level API for [[MinhashSig]]. */
   def minhash_sig(hashedShingles: Column, k: Int): Column =

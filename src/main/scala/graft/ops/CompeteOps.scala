@@ -174,10 +174,14 @@ object CompeteOps {
   val q312BradleyTerry: QueryDef = QueryDef(
     "q312_bradley_terry",
     (s, dir) => {
-      val d = duels(s, dir).localCheckpoint() // feeds pair stats and both sides
-      val pairs = d.groupBy(col("a"), col("b"))
+      // r16: the duel frame has ONE consumer (the pair census) — its
+      // eager checkpoint materialized the days×pairs frame for nothing;
+      // pairs/wins stay checkpointed (multiple consumers) but LAZY, so
+      // the two model-sized frames materialize inside the final action
+      // instead of costing a driver job each
+      val pairs = duels(s, dir).groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("n_ab"), sum(col("a_wins")).as("w_ab"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val wins = pairs.select(col("a").as("brand"), col("w_ab").as("w"),
           col("n_ab").as("n"))
         .unionAll(pairs.select(col("b").as("brand"),
@@ -186,7 +190,7 @@ object CompeteOps {
         .agg(sum(col("w")).as("wins"), sum(col("n")).as("comparisons"))
         .withColumn("s1",
           lit(2.0) * col("wins").cast("double") / col("comparisons"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s1a = wins.select(col("brand").as("a"), col("s1").as("s1a"))
       val s1b = wins.select(col("brand").as("b"), col("s1").as("s1b"))
       val denom = pairs.join(broadcast(s1a), Seq("a")).join(broadcast(s1b), Seq("b"))

@@ -125,6 +125,9 @@ object DecideOps {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
+        .localCheckpoint() // ONE tokenize pass feeds the bigram AND the
+                           // unigram census (uncheckpointed, each re-ran
+                           // scan + text shuffle + regex)
       val bigrams = toks.select(explode(expr(
           "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
         .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
@@ -159,7 +162,11 @@ object DecideOps {
             round((-col("m.nc")).cast("double") / col("tot"), 9).as("p"),
             (col("cum_lp") + round(log((-col("m.nc")).cast("double") / col("tot")), 12)
               .cast(decP)).as("cum_lp"))
-        state = next.localCheckpoint()
+        // lazy checkpoint: lineage truncates at plan-build time (the q21
+        // Catalyst-analysis discipline holds) but the 1-row state frame
+        // materializes inside the FINAL action instead of costing one
+        // eager driver job per decode step (r15 verdict item 5)
+        state = next.localCheckpoint(false)
         steps += state
       }
       steps.reduce(_.unionByName(_))

@@ -34,22 +34,28 @@ object IterOps {
           expr("p_partkey div 2").as("parent"))
         .localCheckpoint() // every round probes this one frame
       var delta = s.range(1).select(lit(1L).as("node")).localCheckpoint()
-      var visited = delta
       val levels = scala.collection.mutable.ListBuffer[(Int, DataFrame)](0 -> delta)
       var d = 0
       var more = true
       while (more && d < 40) {
         d += 1
+        // r16: no visited anti-join, no accumulated visited checkpoint.
+        // The edge relation is child → child div 2 with child ≥ 2, so
+        // every step strictly DECREASES the key walking up — a node's
+        // BFS depth is unique for ANY part-key set (each node has exactly
+        // one parent), and a delta can never contain an already-visited
+        // node. The anti-join was structurally a no-op; dropping it
+        // removes one growing-frame materialization + one join per level
+        // (~18 levels at sf0.1). distinct() stays: it is the level-frame
+        // dedup under duplicate part keys.
         val next = edges.join(delta.select(col("node").as("parent")), Seq("parent"))
           .select(col("child").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
           .localCheckpoint()
         // bounded driver-side emptiness probe — the loop-control read the
         // GraphOps fixpoints already make (depth ≤ log2 of the key space)
         if (next.isEmpty) more = false
         else {
           levels += (d -> next)
-          visited = visited.unionByName(next).localCheckpoint()
           delta = next
         }
       }
@@ -92,6 +98,9 @@ object IterOps {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
+        .localCheckpoint() // ONE tokenize pass (scan + text shuffle + regex)
+                           // feeds BOTH the bigram and the unigram census —
+                           // uncheckpointed, each census re-ran all three
       val occ = toks.select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
         .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))

@@ -134,7 +134,10 @@ object JourneyOps {
       val seq = journeys(s, dir)
         .withColumn("nxt", coalesce(lead(col("event_type"), 1).over(wUser),
           lit("end")))
-        .localCheckpoint() // feeds transitions AND the start distribution
+        .localCheckpoint(false) // feeds transitions AND the start
+                                 // distribution; lazy (r16): materializes
+                                 // inside the first consumer's job, one
+                                 // less driver action, same one-pass math
       val trans = seq.filter(col("event_type") =!= "purchase")
         .groupBy(col("event_type").as("s"), col("nxt").as("t"))
         .agg(count(lit(1)).as("n"))
@@ -146,7 +149,7 @@ object JourneyOps {
         .groupBy(col("first_ev")).agg(count(lit(1)).as("nf"))
         .withColumn("n_users", sum(col("nf")).over(Window.partitionBy()))
         .withColumn("w", round(col("nf").cast("double") / col("n_users"), 9))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val channels = Seq("view", "click", "signup", "error")
       val variants = broadcast(Tables(s, dir).region.limit(1)
         .select(explode(array((lit("base") +: channels.map(lit)): _*))
@@ -155,7 +158,7 @@ object JourneyOps {
         .filter(col("removed") === "base" ||
           (col("s") =!= col("removed") && col("t") =!= col("removed")))
         .select(col("removed"), col("s"), col("t"), col("p"))
-        .localCheckpoint() // tiny: ≤ 5 variants × 24 edges
+        .localCheckpoint(false) // tiny: ≤ 5 variants × 24 edges
       val pconv = mat.filter(col("t") === "purchase")
         .select(col("removed"), col("s"), col("p").as("pp"))
       val matT = mat.filter(!col("t").isin("purchase", "end"))
@@ -185,7 +188,7 @@ object JourneyOps {
         .withColumn("contrib", round(col("w") * col("vv"), 12).cast(D12))
         .groupBy(col("removed"))
         .agg(sum(col("contrib")).cast("double").as("conv"))
-        .localCheckpoint() // 5 rows; joined against its own base row
+        .localCheckpoint(false) // 5 rows; joined against its own base row
       val base = conv.filter(col("removed") === "base")
         .select(col("conv").as("conv_base"))
       conv.crossJoin(broadcast(base))

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types.DecimalType
   * it; the geometric median minimizes Σd and is the robust anchor
   * outlier-gating (q99) and centroid ops (q62/q80) actually want.
   *
-  * Scale shape: each Weiszfeld round is one join of the exploded
-  * (vec, dim, val) frame with the (label, dim) center frame, one
-  * per-vector distance reduce, one weighted per-dim re-aggregate — all
-  * corpus-linear, DECIMAL-summed so partition order can't perturb the
-  * center. 4 rounds, checkpointed (the q21 discipline).
+  * Scale shape (r16): each Weiszfeld round is ONE linear pass over the
+  * array-form corpus — broadcast the (label, center-array) frame, compute
+  * the per-vector distance in-row ([[graft.functions.DecimalSqDistSkip]]),
+  * and fold the weighted re-center sums in one vector-at-a-time aggregate
+  * ([[graft.functions.DecimalVecWSum]]) — all DECIMAL-summed so partition
+  * order can't perturb the center. 4 rounds, checkpointed (the q21
+  * discipline). The previous dim-exploded form paid a corpus×64-row join
+  * + aggregate AND a corpus⋈corpus weight re-attach join per round.
   */
 object MedianOps {
 
@@ -28,36 +31,45 @@ object MedianOps {
   val q405GeometricMedian: QueryDef = QueryDef(
     "q405_geometric_median",
     (s, dir) => {
-      val pts = Tables(s, dir).embeddings
+      import graft.functions.VectorFunctions.{decimal_sqdist_skip, decimal_vec_wsum}
+      // Vector-at-a-time Weiszfeld (r16): the embedding stays ONE array
+      // row; each round is a broadcast of the ≤|labels| center-array
+      // frame, an IN-ROW distance (DecimalSqDistSkip — the exploded
+      // form's SUM(CAST(round((v-c)²,12) AS DECIMAL(30,12))) with
+      // identical null-skip semantics) and one DecimalVecWSum aggregate
+      // for the re-center sums. The dim-exploded original paid, per
+      // round, a corpus×64-row join + aggregate AND a corpus⋈corpus
+      // sort-merge join re-attaching per-vector weights; DECIMAL sums
+      // are order-free so the fused shape is bit-identical
+      // (MedianOpsSpec pins it; the oracle still runs the exploded SQL).
+      val emb = Tables(s, dir).embeddings
+        // spread the corpus across the pool: the in-row distance work has
+        // no downstream exchange to re-parallelize a single-row-group scan
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .withColumn("v", col("v").cast("double"))
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .filter(size(col("v")) > 0) // posexplode emitted NO row for a
+                                    // null/empty embedding — keep parity
         .localCheckpoint()
-      // mean seed per (label, dim) — DECIMAL-exact over rounded coords
-      val mean = pts.groupBy(col("label"), col("dim"))
-        .agg((sum(round(col("v"), 9).cast(DecimalType(28, 9)))
-          .cast("double") / count(lit(1))).as("c"))
-        .withColumn("c", round(col("c"), 9))
+      // center frames are (label, cv: array<double>), dim = array index.
+      // mean seed: sums/counts from the same aggregate with divisor 1.0
+      // (round(v/1.0, 9) ≡ round(v, 9)).
+      val mean = emb.groupBy(col("label"))
+        .agg(decimal_vec_wsum(col("v"), lit(1.0)).as("m"))
+        .select(col("label"), expr(
+          "zip_with(m.sums, m.counts, (a, b) -> round(cast(a as double) / b, 9))").as("cv"))
         .localCheckpoint()
       def distances(center: DataFrame): DataFrame =
-        pts.join(center, Seq("label", "dim"))
-          .groupBy(col("label"), col("vec_id"))
-          .agg(round(sqrt(sum(round((col("v") - col("c")) *
-            (col("v") - col("c")), 12).cast(DecimalType(30, 12)))
-            .cast("double")), 9).as("d"))
+        emb.join(broadcast(center), Seq("label"))
+          .select(col("label"), col("vec_id"), col("v"),
+            round(sqrt(decimal_sqdist_skip(col("v"), col("cv"))), 9).as("d"))
       var center = mean
       for (_ <- 1 to Rounds) {
-        val w = distances(center)
-        center = pts.join(w, Seq("label", "vec_id"))
-          .groupBy(col("label"), col("dim"))
-          .agg(
-            sum(round(col("v") / greatest(col("d"), lit(1e-9)), 9)
-              .cast(DecimalType(28, 9))).as("swv"),
-            sum(round(lit(1.0) / greatest(col("d"), lit(1e-9)), 9)
-              .cast(DecimalType(28, 9))).as("sw"))
-          .select(col("label"), col("dim"),
-            round(col("swv").cast("double") / col("sw").cast("double"), 9)
-              .as("c"))
+        center = distances(center)
+          .groupBy(col("label"))
+          .agg(decimal_vec_wsum(col("v"), greatest(col("d"), lit(1e-9))).as("m"))
+          .select(col("label"), expr(
+            "zip_with(m.sums, m.wsums, (a, b) -> round(cast(a as double) / cast(b as double), 9))").as("cv"))
           .localCheckpoint()
       }
       val sumTo = (c: DataFrame) => distances(c)
@@ -68,12 +80,9 @@ object MedianOps {
         .select(col("label"), col("sd").as("sd_mean"), col("n"))
       val toMed = sumTo(center)
         .select(col("label"), col("sd").as("sd_median"))
-      val shift = mean.join(center.withColumnRenamed("c", "c2"),
-          Seq("label", "dim"))
-        .groupBy(col("label"))
-        .agg(round(sqrt(sum(round((col("c") - col("c2")) *
-          (col("c") - col("c2")), 12).cast(DecimalType(30, 12)))
-          .cast("double")), 6).as("center_shift"))
+      val shift = mean.join(center.withColumnRenamed("cv", "cv2"), Seq("label"))
+        .select(col("label"),
+          round(sqrt(decimal_sqdist_skip(col("cv"), col("cv2"))), 6).as("center_shift"))
       toMean.join(toMed, Seq("label")).join(shift, Seq("label"))
         .select(col("label"), col("n"),
           round(col("sd_mean").cast("double"), 4).as("sum_dist_mean"),

@@ -47,6 +47,14 @@ object PpsOps {
       // three scalars, one scan
       val totals = p.agg(sum(col("w")).as("w_tot"),
         sum(col("size")).as("size_tot"), count(lit(1)).as("n")).head()
+      // the cum_w_c/100.0 ≡ CAST(SUM(DECIMAL) AS DOUBLE) identity below
+      // needs every cents prefix sum exact as a double — guard the 2^53
+      // assumption at runtime instead of in a comment (r15 advice; at
+      // 2^53 cents ≈ $90T total weight the BIGINT spine would need the
+      // DECIMAL-window form instead)
+      require(totals.getDecimal(0).movePointRight(2).longValueExact() < (1L << 53),
+        "q407: total weight cents >= 2^53 — the long cents line would " +
+          "double-round; switch the cumulative line to the DECIMAL window form")
       val wTot = totals.getDecimal(0).doubleValue()
       val step = wTot / N
       val nParts = totals.getLong(2)

@@ -27,6 +27,10 @@ object QuantizeOps {
     * sv = the 8-dim slice as array<double>). */
   private def subVecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
+      // single-row-group scan → spread the corpus across the pool BEFORE
+      // the CPU-heavy DECIMAL distance work (r16): with the in-row argmin
+      // there is no exchange left downstream to re-parallelize the plan
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), explode(expr(
         """transform(sequence(0, 7),
              k -> struct(cast(k as bigint) AS s,
@@ -47,33 +51,46 @@ object QuantizeOps {
   /** One Lloyd step of per-subspace k-means from the fixed seed vectors
     * (vec_id < 16 — each seed's subvector j seeds centroid j of every
     * subspace), then the final assignment against the updated centroids.
-    * Distances are codegen'd zip_with folds over 8-dim subvectors; the
-    * argmin is min(struct(dist, j)) — a hash aggregation, NOT a window
-    * sort (the window form measured 79 s at sf1; this shape is one
-    * fan-out projection + one partial-agg shuffle per phase). Returns
-    * (codes, centroids): codes = (vec_id, s, code, err);
-    * centroids = (s, j, d, c) dim-level for the ADC LUT. */
+    * Both E-steps are IN-ROW argmins: the ≤16 candidate centroids of a
+    * subspace ride as ONE broadcast array row and the codegen'd
+    * [[graft.functions.DecimalSqDistArgmin]] picks min(dist, j) inside
+    * the projection — bit-identical to the previous
+    * `join(broadcast(centroids)) + min(struct(dist, j))` fan-out
+    * (QuantizeOpsSpec pins it on real data), but with no 16× row fan-out,
+    * no Sort+SortAggregate (struct min is not hash-aggregable), and no
+    * per-phase Exchange. The M-step reads `sv` straight off the E1
+    * projection, so the old corpus-sized a1⋈sub sort-merge join is gone
+    * too. r15 measured this chain (the suite's #1 cost, 6.7 s combined)
+    * at 3 Exchanges + 2 SortAggregates per run; this shape leaves one
+    * model-sized groupBy per phase. Returns (codes, centroids):
+    * codes = (vec_id, s, code, err); centroids = (s, j, d, c) dim-level
+    * for the ADC LUT. */
   private def pq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sub = subVecs(spark, dir).localCheckpoint() // feeds E1, M, E2
-    val seeds = sub.filter(col("vec_id") < 16)
+    import graft.functions.VectorFunctions.decimal_sqdist_argmin
+    val sub = subVecs(spark, dir).localCheckpoint() // feeds E1+M and E2
+    val seedArr = sub.filter(col("vec_id") < 16)
       .select(col("vec_id").as("j"), col("s"), col("sv").as("cv"))
-    val a1 = sub.join(broadcast(seeds), Seq("s"))
-      .withColumn("dist", sqDist("sv", "cv"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("dist"), col("j"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.j").as("j"))
-    val c1 = a1.join(sub, Seq("vec_id", "s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cv")))).as("cands"))
+    // E1 fused with the M-step input: one projection row per (vec_id, s)
+    // carrying its assignment j AND its subvector — no argmin exchange,
+    // no assignment-to-vector join
+    val a1sv = sub.join(broadcast(seedArr), Seq("s"))
+      .select(col("s"),
+        decimal_sqdist_argmin(col("sv"), col("cands")).getField("j").as("j"),
+        col("sv"))
+    val c1 = a1sv
       .select(col("s"), col("j"), posexplode(col("sv")))
       .groupBy(col("s"), col("j"), col("pos").cast("long").as("d"))
       .agg(round(sum(round(col("col"), 9).cast(decD)).cast("double") /
         count(lit(1)), 9).as("c"))
       .localCheckpoint() // feeds encode here and the ADC LUT in q251
-    val c1v = c1.groupBy(col("s"), col("j"))
+    val c1arr = c1.groupBy(col("s"), col("j"))
       .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").as("cv"))
-    val codes = sub.join(broadcast(c1v), Seq("s"))
-      .withColumn("dist", sqDist("sv", "cv"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("dist"), col("j"))).as("m"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cv")))).as("cands"))
+    val codes = sub.join(broadcast(c1arr), Seq("s"))
+      .withColumn("m", decimal_sqdist_argmin(col("sv"), col("cands")))
       .select(col("vec_id"), col("s"), col("m.j").as("code"),
         col("m.dist").cast("double").as("err"))
     (codes, c1)

@@ -76,13 +76,19 @@ object SeedOps {
         if (r < 5) {
           val newSeed = seeds.filter(col("round") === r.toLong)
             .select(col("s_emb"))
+          val prev = cur
           cur = cur.crossJoin(broadcast(newSeed))
             .withColumn("d2", sqL2("embedding", "s_emb"))
             .select(col("vec_id"), col("embedding"),
               least(col("dmin"), col("d2")).as("dmin"))
             .localCheckpoint()
+          // the new eager checkpoint supersedes the old one — release it
+          // instead of pinning ~5 corpus-sized (vec_id, embedding, dmin)
+          // frames in executor storage across the loop (r15 advice)
+          prev.unpersist()
         }
       }
+      cur.unpersist() // seeds carries everything the result reads
       val assign = emb.crossJoin(broadcast(seeds.select(col("seed_id"), col("s_emb"))))
         .withColumn("d", sqL2("embedding", "s_emb"))
         .groupBy(col("vec_id"))

@@ -30,6 +30,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Spine {
 
+  /** Window-vs-spine cutover in rows. 8M ≈ a ~200 MB single-task sort —
+    * comfortable executor headroom at bench scale; a deployment tunes it
+    * via SPARK_GRAFT_SPINE_THRESHOLD (also how the r16 scale experiment
+    * forces the distributed branch at sf1 to put its plan and timing on
+    * the record, BASELINE.md). Both branches are bit-identical (SpineSpec),
+    * so the knob is physical, never semantic; the driver's bench runs with
+    * it unset, i.e. exactly the r15 behavior. */
+  val DefaultThreshold: Long =
+    sys.env.get("SPARK_GRAFT_SPINE_THRESHOLD").map(_.toLong).getOrElse(8000000L)
+
   /** Append a global rank column (`rankCol`, 1-based BIGINT, ordered by
     * `ord`) and one running-sum column `cum_<c>` per entry of `sumCols`
     * (inclusive of the current row) to `df`, with no single-partition
@@ -121,7 +131,7 @@ object Spine {
     * raise/lower per deployment. */
   def adaptiveNtile(df: DataFrame, ord: Seq[Column], k: Int,
                     bucketCol: String,
-                    threshold: Long = 8000000L,
+                    threshold: Long = DefaultThreshold,
                     knownCount: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, ntile}
@@ -144,10 +154,15 @@ object Spine {
     * inclusive running sum per `sumCols` entry. Pass `knownCount` when
     * the cardinality is provable cheaply (a metadata count, an
     * already-materialized localCheckpoint, a count the query computes
-    * anyway) so the probe costs nothing. */
+    * anyway) so the probe costs nothing. `knownCount` may be any UPPER
+    * BOUND on the frame size, not necessarily the exact cardinality —
+    * it drives ONLY the window-vs-spine threshold decision (r15 callers
+    * pass |orders| / |part| metadata bounds); never read it as a value.
+    * When the exact count is needed as a value, use `totalCol`, which
+    * rides the plan. */
   def adaptiveRank(df: DataFrame, ord: Seq[Column],
                    sumCols: Seq[String] = Nil, rankCol: String = "pos",
-                   threshold: Long = 8000000L,
+                   threshold: Long = DefaultThreshold,
                    knownCount: Long = -1L,
                    totalCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -215,7 +230,7 @@ object Spine {
     * `last(ignoreNulls)` window at or below `threshold` rows,
     * [[carryForward]] above — identical output either way. */
   def adaptiveCarry(df: DataFrame, ord: Seq[Column], valueCol: String,
-                    outCol: String, threshold: Long = 8000000L,
+                    outCol: String, threshold: Long = DefaultThreshold,
                     knownCount: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, last}
@@ -244,7 +259,7 @@ object Spine {
     * single-partition forms had to go. */
   def lnFactorialLadder(spark: org.apache.spark.sql.SparkSession,
                         n: Long,
-                        threshold: Long = 8000000L): DataFrame = {
+                        threshold: Long = DefaultThreshold): DataFrame = {
     import org.apache.spark.sql.functions.{col, log, round, sum}
     import org.apache.spark.sql.types.DecimalType
     if (n <= threshold) {

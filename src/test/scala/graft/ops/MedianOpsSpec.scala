@@ -53,4 +53,58 @@ class MedianOpsSpec extends SparkTestBase {
         s"label $label sum_dist_median")
     }
   }
+
+  test("q405 primitives are bit-identical to the exploded join+agg forms they replace") {
+    import graft.functions.VectorFunctions.{decimal_sqdist_skip, decimal_vec_wsum}
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .localCheckpoint()
+    val pts = emb.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("dim", "v")))
+
+    // exploded mean seed vs decimal_vec_wsum(v, 1.0)
+    val meanOld = pts.groupBy(col("label"), col("dim"))
+      .agg(round(sum(round(col("v"), 9).cast(DecimalType(28, 9)))
+        .cast("double") / count(lit(1)), 9).as("c"))
+    val meanNew = emb.groupBy(col("label"))
+      .agg(decimal_vec_wsum(col("v"), lit(1.0)).as("m"))
+      .select(col("label"), posexplode(expr(
+        "zip_with(m.sums, m.counts, (a, b) -> round(cast(a as double) / b, 9))"))
+        .as(Seq("dim", "c2")))
+    val meanBoth = meanOld.join(meanNew, Seq("label", "dim"), "full")
+    assert(meanBoth.filter(col("c").isNull || col("c2").isNull ||
+      col("c") =!= col("c2")).count() == 0, "mean seed diverged")
+
+    // exploded distance + weighted re-center vs the fused round
+    val centerArr = meanNew.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c2))), x -> x.c2)").as("cv"))
+    val dOld = pts.join(meanOld, Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(round(sqrt(sum(round((col("v") - col("c")) *
+        (col("v") - col("c")), 12).cast(DecimalType(30, 12)))
+        .cast("double")), 9).as("d"))
+    val dNew = emb.join(broadcast(centerArr), Seq("label"))
+      .select(col("label"), col("vec_id"), col("v"),
+        round(sqrt(decimal_sqdist_skip(col("v"), col("cv"))), 9).as("d2"))
+    val dBoth = dOld.join(dNew, Seq("label", "vec_id"), "full")
+    assert(dBoth.filter(col("d").isNull || col("d2").isNull ||
+      col("d") =!= col("d2")).count() == 0, "in-row distance diverged")
+
+    val cOld = pts.join(dOld, Seq("label", "vec_id"))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(round(col("v") / greatest(col("d"), lit(1e-9)), 9)
+          .cast(DecimalType(28, 9))).cast("double") /
+        sum(round(lit(1.0) / greatest(col("d"), lit(1e-9)), 9)
+          .cast(DecimalType(28, 9))).cast("double"), 9).as("c"))
+    val cNew = dNew.groupBy(col("label"))
+      .agg(decimal_vec_wsum(col("v"), greatest(col("d2"), lit(1e-9))).as("m"))
+      .select(col("label"), posexplode(expr(
+        "zip_with(m.sums, m.wsums, (a, b) -> round(cast(a as double) / cast(b as double), 9))"))
+        .as(Seq("dim", "c2")))
+    val cBoth = cOld.join(cNew, Seq("label", "dim"), "full")
+    assert(cBoth.filter(col("c").isNull || col("c2").isNull ||
+      col("c") =!= col("c2")).count() == 0, "weighted re-center diverged")
+  }
 }
