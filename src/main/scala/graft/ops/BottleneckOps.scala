@@ -25,16 +25,11 @@ object BottleneckOps {
   val q409WidestPath: QueryDef = QueryDef(
     "q409_widest_path",
     (s, dir) => {
-      val li = Tables(s, dir).lineitem
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("t"),
-          col("l_quantity").cast("long").as("q"))
-      val wSeq = Window.partitionBy(col("p")).orderBy(col("t"), col("sid"))
-      val edges = li
-        .withColumn("nv", lead(col("sid"), 1).over(wSeq))
-        .withColumn("cap", lead(col("q"), 1).over(wSeq))
-        .where(col("nv").isNotNull && col("nv") =!= col("sid"))
-        .groupBy(col("sid").as("u"), col("nv").as("v"))
+      // r16: the handoff pass is the shared GraphBase.contactHandoffs
+      // base (q395's graph, as the scaladoc already said) — this query
+      // only max-aggregates its capacities
+      val edges = GraphBase.contactHandoffs(s, dir)
+        .groupBy(col("u"), col("v"))
         .agg(max(col("cap")).as("cap"))
         .localCheckpoint()
       var state = Tables(s, dir).supplier

@@ -35,19 +35,34 @@ object FacilityOps {
       val emb = Tables(s, dir).embeddings
       val cands = emb.where(col("vec_id") % 40 === 0 && col("vec_id") < 4000)
         .select(col("vec_id").as("c"), col("embedding").as("c_emb"))
-      val sims = emb.select(col("vec_id").as("v"), col("embedding"))
+      // r16: ONE state frame (v, simArr sorted by candidate id, cur)
+      // instead of a (c, v, sim) frame re-joined against a (v, cur) frame
+      // every round. The greedy loop previously paid, per round, a
+      // corpus⋈corpus gains join, a corpus⋈slice update join and three
+      // driver jobs; now gains are one explode + partial-agg pass (no
+      // join — cur rides the row), the update is an in-row element_at on
+      // the pick's driver-known index, and the superseded state
+      // checkpoint is unpersisted. Same per-(c,v) gain terms, same
+      // DECIMAL sums (order-free), same tie-breaks — oracle-pinned.
+      var state = emb.select(col("vec_id").as("v"), col("embedding"))
         .crossJoin(broadcast(cands))
         .withColumn("sim", round(Similarity.cosine(col("c_emb"), col("embedding")), 9))
-        .select(col("c"), col("v"), col("sim"))
+        .groupBy(col("v"))
+        .agg(sort_array(collect_list(struct(col("c"), col("sim")))).as("simArr"))
+        .withColumn("cur", lit(0.0))
         .localCheckpoint()
-      var cur = emb.select(col("vec_id").as("v"), lit(0.0).as("cur"))
-        .localCheckpoint()
+      // the ≤13 candidate ids, ordered as simArr is — a model-sized driver
+      // read (the q342/q385 bounded-argmax idiom), used only to turn the
+      // round's pick into an array index
+      val candIds = cands.select(col("c")).orderBy(col("c"))
+        .collect().map(_.getLong(0))
       val picksB = Seq.newBuilder[(Long, Long, Double, Double)]
       var chosen = Set.empty[Long]
       for (r <- 1 to K) {
-        val gains = sims
+        val gains = state
+          .select(col("cur"), explode(col("simArr")).as("e"))
+          .select(col("e.c").as("c"), col("e.sim").as("sim"), col("cur"))
           .where(!col("c").isInCollection(if (chosen.isEmpty) Seq(-1L) else chosen.toSeq))
-          .join(cur, Seq("v"))
           .groupBy(col("c"))
           .agg(sum(round(greatest(col("sim") - col("cur"), lit(0.0)), 9)
             .cast(DecimalType(24, 9))).as("g"))
@@ -56,11 +71,14 @@ object FacilityOps {
         val pick = gains.getLong(0)
         val gain = gains.getDecimal(1).doubleValue()
         chosen += pick
-        cur = cur.join(
-          sims.where(col("c") === pick).select(col("v"), col("sim")), Seq("v"))
-          .select(col("v"), greatest(col("cur"), col("sim"), lit(0.0)).as("cur"))
+        val pickIdx = candIds.indexOf(pick) + 1 // element_at is 1-based
+        val prev = state
+        state = state
+          .withColumn("cur", greatest(col("cur"),
+            element_at(col("simArr"), pickIdx).getField("sim"), lit(0.0)))
           .localCheckpoint()
-        val objective = cur.agg(sum(round(col("cur"), 9)
+        prev.unpersist()
+        val objective = state.agg(sum(round(col("cur"), 9)
           .cast(DecimalType(24, 9))).as("o")).head().getDecimal(0).doubleValue()
         picksB += ((r.toLong, pick, gain, objective))
       }

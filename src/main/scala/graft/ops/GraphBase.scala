@@ -135,28 +135,104 @@ object GraphBase {
       .filter(col("rk") <= cap).select(col("v"), col("n"))
   }
 
-  /** Directed nation trade edges (u, v, w): for each part, consecutive
-    * distinct suppliers in (ship time, supplier) order hand the part off;
-    * map both ends to nations, keep cross-nation handoffs, weight by
-    * count. One lineitem window pass + two broadcast dim joins + one
-    * hash-agg to a |nations|²-bounded frame. */
+  /** Consecutive-shipment supplier handoffs (u → v at time t, capacity
+    * cap): within each part's shipment sequence ordered by (ship time,
+    * supplier), every shipment links its supplier u to the NEXT
+    * shipment's supplier v at the next shipment's time, carrying the
+    * next shipment's quantity as cap; same-supplier consecutive rows are
+    * dropped. The ONE lineitem window pass behind the whole supplier
+    * contact-graph family — q395 (earliest arrival), q409 (widest path)
+    * and the nation-trade variants below each re-ran it before r16.
+    * Unlike the other variants this frame is row-level, not group-by'd;
+    * every consumer aggregates it (distinct / max / count), and rows that
+    * tie on the (t, sid) sort key are interchangeable for every consumer
+    * (q395 never reads cap; q409's input columns are exactly this
+    * frame's), so results are insensitive to tie order and row layout. */
+  def contactHandoffs(s: SparkSession, dir: String): DataFrame =
+    materialized(s, s"$dir|contact_handoffs") {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ts"),
+          col("l_quantity").cast("long").as("q"))
+      val wSeq = Window.partitionBy(col("p")).orderBy(col("ts"), col("sid"))
+      li.withColumn("nv", lead(col("sid"), 1).over(wSeq))
+        .withColumn("nt", lead(col("ts"), 1).over(wSeq))
+        .withColumn("cap", lead(col("q"), 1).over(wSeq))
+        .where(col("nv").isNotNull && col("nv") =!= col("sid"))
+        .select(col("sid").as("u"), col("nv").as("v"), col("nt").as("t"),
+          col("cap"))
+    }
+
+  /** Directed nation trade edges (u, v, w): the contact handoffs with
+    * both ends mapped to nations, cross-nation only, weighted by count —
+    * two broadcast dim joins + one hash-agg to a |nations|²-bounded
+    * frame over the shared [[contactHandoffs]] pass. */
   def tradeEdgesDirected(s: SparkSession, dir: String): DataFrame =
     materialized(s, s"$dir|trade_directed") {
-      val t = Tables(s, dir)
-      val li = t.lineitem
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("ts"))
-      val wSeq = Window.partitionBy(col("p")).orderBy(col("ts"), col("sid"))
-      val supNation = t.supplier.select(col("s_suppkey").as("sid"),
-        col("s_nationkey").as("nk"))
-      li.withColumn("nv", lead(col("sid"), 1).over(wSeq))
-        .where(col("nv").isNotNull && col("nv") =!= col("sid"))
+      val supNation = Tables(s, dir).supplier
+        .select(col("s_suppkey").as("sid"), col("s_nationkey").as("nk"))
+      contactHandoffs(s, dir)
+        .select(col("u").as("sid"), col("v").as("nv"))
         .join(broadcast(supNation), Seq("sid"))
         .join(broadcast(supNation.select(col("sid").as("nv"),
           col("nk").as("nk2"))), Seq("nv"))
         .where(col("nk") =!= col("nk2"))
         .groupBy(col("nk").as("u"), col("nk2").as("v"))
         .agg(count(lit(1)).as("w"))
+    }
+
+  /** q147's item-item top-5 cosine frame (x, y, c_xy, cos, rk): binary
+    * co-purchase cosine over DISTINCT baskets (cos = |x∩y|/√(|x|·|y|)),
+    * top-5 neighbors per item, ties on (cos desc, y). THREE queries
+    * consume this frame verbatim — q147 itself, q155's NDCG and q552's
+    * MRR — and each re-ran the basket self-join + ranking before r16.
+    * cos is a per-row function round(c_xy/√(c_x·c_y), 6) of exact
+    * integer counts and every tie-break is total, so the frame is
+    * bit-identical across builds like the integer variants. */
+  def itemItemTop5(s: SparkSession, dir: String): DataFrame =
+    materialized(s, s"$dir|item_item_top5") {
+      val baskets = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+        .distinct()
+      val pairs = baskets.as("a")
+        .join(baskets.as("b"),
+          col("a.ok") === col("b.ok") && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("x"), col("b.part").as("y"))
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 2)
+      val marg = baskets.groupBy(col("part"))
+        .agg(count(lit(1)).as("c"))
+      val scored = pairs
+        .join(marg.select(col("part").as("x"), col("c").as("c_x")), Seq("x"))
+        .join(marg.select(col("part").as("y"), col("c").as("c_y")), Seq("y"))
+        .withColumn("cos",
+          round(col("c_xy").cast("double") /
+            sqrt(col("c_x").cast("double") * col("c_y").cast("double")), 6))
+      val w = Window.partitionBy(col("x"))
+        .orderBy(col("cos").desc, col("y").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("x"), col("y"), col("c_xy"), col("cos"),
+                col("rk").cast("long").as("rk"))
+    }
+
+  /** User-behavior transition census (cur, nxt, cnt): consecutive
+    * per-user event pairs counted — the event-type transition graph
+    * behind q496's stationary distribution and q558's entropy rate.
+    * q558 composes q496, so before r16 the corpus-sized events
+    * lead-window ran TWICE per q558 run (and once more for q496
+    * itself); now one window pass per JVM feeds both. Exact integer
+    * group-by — bit-identical across builds. */
+  def userTransitionCensus(s: SparkSession, dir: String): DataFrame =
+    materialized(s, s"$dir|event_transitions") {
+      val ev = EventOps.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("cnt"))
     }
 
   /** Undirected nation trade edges (a < b, w): the directed graph folded

@@ -34,22 +34,19 @@ object MarkovChainOps {
   val q496MarkovStationary: QueryDef = QueryDef(
     "q496_markov_stationary",
     (s, dir) => {
-      val ev = EventOps.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val trans = ev
-        .withColumn("nxt", lead(col("event_type"), 1).over(w))
-        .where(col("nxt").isNotNull)
-        .groupBy(col("event_type").as("cur"), col("nxt"))
-        .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+      // r16: the transition census is the shared
+      // GraphBase.userTransitionCensus base (q558 composes this query,
+      // so the corpus lead-window used to run twice per q558); the
+      // model-sized iteration frames checkpoint LAZILY — lineage still
+      // truncates per step, but the ≤|types|-row frames materialize
+      // inside the final action instead of one eager driver job each
+      val trans = GraphBase.userTransitionCensus(s, dir)
       val rowTot = trans.groupBy(col("cur")).agg(sum(col("cnt")).as("tot"))
       val p = trans.join(broadcast(rowTot), Seq("cur"))
         .select(col("cur"), col("nxt"),
           (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
-        .localCheckpoint()
-      val states = p.select(col("cur").as("state")).distinct().localCheckpoint()
+        .localCheckpoint(false)
+      val states = p.select(col("cur").as("state")).distinct().localCheckpoint(false)
       val t = states.count()
       var pi = states.withColumn("pi", lit(1.0 / t))
       for (_ <- 1 to K) {
@@ -59,7 +56,7 @@ object MarkovChainOps {
               .agg(sum(col("pi") * col("p")).as("inflow")),
             Seq("state"), "left")
           .select(col("state"), coalesce(col("inflow"), lit(0.0)).as("pi"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       val share = trans.groupBy(col("cur").as("state"))
         .agg(sum(col("cnt")).as("n_src"))
@@ -131,16 +128,10 @@ object MarkovChainOps {
     "q558_markov_entropy_rate",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val ev = EventOps.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val trans = ev
-        .withColumn("nxt", lead(col("event_type"), 1).over(w))
-        .where(col("nxt").isNotNull)
-        .groupBy(col("event_type").as("cur"), col("nxt"))
-        .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+      // r16: shared census base — see q496; the composed q496 call below
+      // reads the same materialized frame, so the events window runs
+      // once per JVM instead of twice per run of this query
+      val trans = GraphBase.userTransitionCensus(s, dir)
       val rowTot = trans.groupBy(col("cur")).agg(sum(col("cnt")).as("tot"))
       // per-state conditional entropy from quantized terms
       val hState = trans.join(broadcast(rowTot), Seq("cur"))

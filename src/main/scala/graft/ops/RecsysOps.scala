@@ -21,31 +21,10 @@ object RecsysOps {
     */
   val q147ItemItemCosine: QueryDef = QueryDef(
     "q147_item_item_cosine",
-    (s, dir) => {
-      val baskets = Tables(s, dir).lineitem
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
-        .distinct()
-      val pairs = baskets.as("a")
-        .join(baskets.as("b"),
-          col("a.ok") === col("b.ok") && col("a.part") < col("b.part"))
-        .groupBy(col("a.part").as("x"), col("b.part").as("y"))
-        .agg(count(lit(1)).as("c_xy"))
-        .filter(col("c_xy") >= 2)
-      val marg = baskets.groupBy(col("part"))
-        .agg(count(lit(1)).as("c"))
-      val scored = pairs
-        .join(marg.select(col("part").as("x"), col("c").as("c_x")), Seq("x"))
-        .join(marg.select(col("part").as("y"), col("c").as("c_y")), Seq("y"))
-        .withColumn("cos",
-          round(col("c_xy").cast("double") /
-            sqrt(col("c_x").cast("double") * col("c_y").cast("double")), 6))
-      val w = Window.partitionBy(col("x"))
-        .orderBy(col("cos").desc, col("y").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("x"), col("y"), col("c_xy"), col("cos"),
-                col("rk").cast("long").as("rk"))
-    },
+    // r16: the top-5 frame is the shared GraphBase.itemItemTop5 base —
+    // q155 (NDCG) and q552 (MRR) compose this query verbatim, so the
+    // basket self-join + ranking used to run three times per JVM
+    (s, dir) => GraphBase.itemItemTop5(s, dir),
     Some("""WITH o AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
           FROM lineitem),
         p AS (SELECT a.part AS x, b.part AS y, COUNT(*) AS c_xy

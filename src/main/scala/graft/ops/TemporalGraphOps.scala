@@ -31,15 +31,11 @@ object TemporalGraphOps {
   val q395TemporalReach: QueryDef = QueryDef(
     "q395_temporal_reach",
     (s, dir) => {
-      val li = Tables(s, dir).lineitem
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("t"))
-      val wSeq = Window.partitionBy(col("p")).orderBy(col("t"), col("sid"))
-      val edges = li
-        .withColumn("nv", lead(col("sid"), 1).over(wSeq))
-        .withColumn("nt", lead(col("t"), 1).over(wSeq))
-        .where(col("nv").isNotNull && col("nv") =!= col("sid"))
-        .select(col("sid").as("u"), col("nv").as("v"), col("nt").as("t"))
+      // r16: the consecutive-shipment handoff pass is the shared
+      // GraphBase.contactHandoffs base (q409 and the nation-trade family
+      // run the identical lineitem window) — this query only dedups it
+      val edges = GraphBase.contactHandoffs(s, dir)
+        .select(col("u"), col("v"), col("t"))
         .distinct()
         .localCheckpoint()
       val seedArr = java.time.LocalDate.of(1995, 1, 1)
