@@ -40,6 +40,16 @@ object Spine {
   val DefaultThreshold: Long =
     sys.env.get("SPARK_GRAFT_SPINE_THRESHOLD").map(_.toLong).getOrElse(8000000L)
 
+  /** [[lnFactorialLadder]]'s cutover is LOWER than the rank sites': its
+    * window branch is a single-task sort + running-sum of the WHOLE
+    * ladder (length = the corpus-coupled max n), with none of the
+    * pre-partitioned-frame reuse the rank sites get. The r16 sf1
+    * measurement put the crossover below ~1.5M rows (q456: 4.14 s window
+    * vs 2.45 s spine at sf1; sf0.1 ladders are ~10× smaller and keep the
+    * window, so the driver bench is unchanged). Same env override. */
+  val LadderThreshold: Long =
+    sys.env.get("SPARK_GRAFT_SPINE_THRESHOLD").map(_.toLong).getOrElse(1000000L)
+
   /** Append a global rank column (`rankCol`, 1-based BIGINT, ordered by
     * `ord`) and one running-sum column `cum_<c>` per entry of `sumCols`
     * (inclusive of the current row) to `df`, with no single-partition
@@ -259,7 +269,7 @@ object Spine {
     * single-partition forms had to go. */
   def lnFactorialLadder(spark: org.apache.spark.sql.SparkSession,
                         n: Long,
-                        threshold: Long = DefaultThreshold): DataFrame = {
+                        threshold: Long = LadderThreshold): DataFrame = {
     import org.apache.spark.sql.functions.{col, log, round, sum}
     import org.apache.spark.sql.types.DecimalType
     if (n <= threshold) {
