@@ -44,8 +44,13 @@ object ScalingOps {
           "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
           .as("b"))
         .select(col("s"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // r16: ONE bigram explode — c1 is exactly the w2-marginal of c12
+      // (Σ_w2 c12 ≡ the bigram count per (s, w1), integer-exact), so the
+      // 5×-token-mass bg pass no longer runs twice; c12 checkpoints for
+      // its two consumers (the marginal here and the held-side probe)
       val c12 = bg.groupBy(col("s"), col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val c1 = bg.groupBy(col("s"), col("w1")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint()
+      val c1 = c12.groupBy(col("s"), col("w1")).agg(sum(col("c12")).as("c1"))
       val vstats = train.select(col("s"), explode(col("toks")).as("t"))
         .groupBy(col("s"))
         .agg(countDistinct(col("t")).as("v"), count(lit(1)).as("n_tokens"))
