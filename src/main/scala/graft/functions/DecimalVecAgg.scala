@@ -238,6 +238,70 @@ case class DecimalVecWSum(
     copy(left = l, right = r)
 }
 
+/** Hash-aggregable lexicographic min over (a, b) BIGINT pairs — the
+  * struct-min replacement for PAIR frames: `min(struct(d2, pos))` plans
+  * Sort + SortAggregate (struct aggregation buffers are not mutable),
+  * which sorts the whole fan-out frame per side (the q250/q251 disease;
+  * q507's ~5.7M-pair frame still paid it). This DeclarativeAggregate
+  * keeps two mutable LONG buffer slots, so the plan is a plain
+  * partial+final HashAggregate with map-side combine. Semantics match
+  * `min(struct(a, b))` over non-null structs exactly: smallest a, ties
+  * to smallest b; rows with a null a or b are skipped (the callers
+  * never produce one); empty group → null. */
+case class MinPairLong(
+    left: Expression,
+    right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+  with BinaryLike[Expression] {
+
+  import org.apache.spark.sql.catalyst.expressions._
+
+  override def prettyName: String = "min_pair_long"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("a", LongType), StructField("b", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"min_pair_long requires (bigint, bigint), got ${left.dataType} / ${right.dataType}")
+
+  private lazy val bufA = AttributeReference("min_pair_a", LongType)()
+  private lazy val bufB = AttributeReference("min_pair_b", LongType)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bufA, bufB)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(null, LongType), Literal.create(null, LongType))
+
+  private def lex(a1: Expression, b1: Expression,
+                  a2: Expression, b2: Expression): Expression =
+    Or(LessThan(a1, a2), And(EqualTo(a1, a2), LessThan(b1, b2)))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val skip = Or(IsNull(left), IsNull(right))
+    val take = Or(IsNull(bufA), lex(left, right, bufA, bufB))
+    Seq(
+      If(skip, bufA, If(take, left, bufA)),
+      If(skip, bufB, If(take, right, bufB)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val skip = IsNull(bufA.right)
+    val take = Or(IsNull(bufA.left), lex(bufA.right, bufB.right, bufA.left, bufB.left))
+    Seq(
+      If(skip, bufA.left, If(take, bufA.right, bufA.left)),
+      If(skip, bufB.left, If(take, bufB.right, bufB.left)))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(IsNull(bufA), Literal.create(null, dataType),
+      CreateNamedStruct(Seq(Literal("a"), bufA, Literal("b"), bufB)))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinPairLong =
+    copy(left = l, right = r)
+}
+
 object DecimalVecWSum {
   /** Mutable per-group state; grows to the longest array seen. */
   final class Buf {

@@ -657,6 +657,12 @@ object VectorFunctions {
     ColumnBridge.column(DecimalVecWSum(ColumnBridge.expression(values),
       ColumnBridge.expression(divisor)).toAggregateExpression())
 
+  /** Column-level API for [[MinPairLong]] — hash-aggregable
+    * min(struct(a, b)) over BIGINT pairs; result struct(a, b). */
+  def min_pair_long(a: Column, b: Column): Column =
+    ColumnBridge.column(MinPairLong(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)).toAggregateExpression())
+
   /** Column-level API for [[MinhashSig]]. */
   def minhash_sig(hashedShingles: Column, k: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashedShingles), k))

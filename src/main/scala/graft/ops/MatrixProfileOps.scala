@@ -61,15 +61,20 @@ object MatrixProfileOps {
       val d2 = (0 until M).map { k =>
         (col(s"a$k") - col(s"b$k")) * (col(s"a$k") - col(s"b$k"))
       }.reduce(_ + _)
-      // nearest neighbor via min(struct(d2, pb)): partial aggregation
-      // combines map-side, so the pair rows never shuffle — the reduce
-      // state is one struct per window
+      // nearest neighbor via the hash-aggregable pair-min (r16):
+      // min(struct(d2, pb)) planned Sort + SortAggregate — struct
+      // buffers are not mutable, so the whole pair frame was SORTED per
+      // side before aggregating; MinPairLong keeps two mutable long
+      // slots, giving a plain partial+final HashAggregate with the same
+      // (d2, pb) lexicographic semantics, and the pair rows never
+      // shuffle (map-side combine to one pair per window per task)
       val profile = a.join(b, abs(col("pa") - col("pb")) >= M)
         .withColumn("d2", d2)
         .groupBy(col("pa"), col("da"))
-        .agg(min(struct(col("d2"), col("pb"))).as("nn"))
-        .select(col("pa"), col("da"), col("nn.d2").as("nn_d2"),
-          col("nn.pb").as("nn_pos"))
+        .agg(graft.functions.VectorFunctions.min_pair_long(
+          col("d2"), col("pb").cast("long")).as("nn"))
+        .select(col("pa"), col("da"), col("nn.a").as("nn_d2"),
+          col("nn.b").as("nn_pos"))
       profile
         .orderBy(col("nn_d2").desc, col("pa"))
         .limit(5)

@@ -50,4 +50,29 @@ class MatrixProfileOpsSpec extends SparkTestBase {
       assert(math.abs(pos - nnPos) >= m, "neighbor does not overlap")
     }
   }
+
+  test("min_pair_long == min(struct(a, b)) and plans a HashAggregate, not a SortAggregate") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.min_pair_long
+    // keys with ties on a (b breaks them), a null row, and a group of one
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, 10L, 5L), (1L, 10L, 3L), (1L, 2L, 9L), (1L, 2L, 11L),
+           (2L, 7L, 7L), (2L, CAST(null AS BIGINT), 1L),
+           (3L, -4L, 0L)
+         AS t(k, a, b)""")
+    val fused = df.groupBy(col("k"))
+      .agg(min_pair_long(col("a"), col("b")).as("m"))
+      .select(col("k"), col("m.a").as("a"), col("m.b").as("b"))
+    val viaStruct = df.where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("k"))
+      .agg(min(struct(col("a"), col("b"))).as("m"))
+      .select(col("k"), col("m.a").as("a2"), col("m.b").as("b2"))
+    val both = fused.join(viaStruct, Seq("k"), "full")
+    assert(both.filter(col("a") =!= col("a2") || col("b") =!= col("b2") ||
+      col("a").isNull || col("a2").isNull).count() == 0)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"expected a hash aggregate:\n$plan")
+  }
 }
